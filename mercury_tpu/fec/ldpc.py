@@ -1,0 +1,113 @@
+"""Batched LDPC encode/decode on TPU.
+
+Encoder: the IRA back-substitution (reference: ldpc.cc:111-132) is linear over
+GF(2), so it is precompiled into a dense generator block G [P, K] and executed
+as a single matmul mod 2 — MXU-friendly and exactly equivalent.
+
+Decoder: sum-product (tanh/atanh) belief propagation, vectorized over a batch
+of codewords, mirroring the reference SPA message schedule
+(ldpc_decoder_SPA.cc:25-218): flooding check update with exclusive tanh
+products, variable update, syndrome early-exit. Per-codeword convergence is
+tracked with a mask (lockstep batch); messages of converged codewords freeze.
+
+Message layout follows the reference: R and Q live on the *variable side* as
+[N, Vw] slots; the check update gathers Q via (C, V_pos) edge indices and
+scatters R back to the same slots (each edge written exactly once).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mercury_tpu.fec.tables import LdpcCode, load_code
+
+
+def encode(code: LdpcCode, info_bits: jnp.ndarray) -> jnp.ndarray:
+    """info_bits [..., K] in {0,1} -> codeword [..., N]. Matmul on the MXU."""
+    g = jnp.asarray(code.gen, dtype=jnp.float32)
+    u = info_bits.astype(jnp.float32)
+    parity = jnp.mod(u @ g.T, 2.0)
+    return jnp.concatenate([info_bits.astype(jnp.int32),
+                            parity.astype(jnp.int32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("rate_num", "max_iter"))
+def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
+    """Batched SPA decode.
+
+    Args:
+      llr: [B, N] float32 input LLRs (positive -> bit 0, like the reference).
+      rate_num: LDPC rate numerator (rate = rate_num/16).
+      max_iter: iteration cap (reference default 50).
+
+    Returns:
+      bits [B, N] int32 hard decisions, iters [B] int32 (0 = clean on arrival,
+      max_iter+1 = no convergence), ok [B] bool (syndrome satisfied).
+    """
+    code = load_code(rate_num)
+    n, p, cw, vw = code.n, code.p, code.cw, code.vw
+
+    c_idx = jnp.asarray(np.where(code.c_idx < 0, 0, code.c_idx))
+    c_mask = jnp.asarray(code.c_idx >= 0)
+    v_mask = jnp.asarray(code.v_idx >= 0)                      # [N, Vw]
+    # flat index of each check edge into the variable-side [N*Vw] slots;
+    # padded edges point at a sentinel slot (index N*Vw) that is dropped
+    vpos = np.where(code.v_pos < 0, 0, code.v_pos)
+    edge_flat_np = np.where(code.c_idx >= 0,
+                            code.c_idx * vw + vpos, n * vw)
+    edge_flat = jnp.asarray(edge_flat_np)                      # [P, Cw]
+
+    llr = llr.astype(jnp.float32)
+    b = llr.shape[0]
+
+    def syndrome(bits):
+        g = jnp.take(bits, c_idx, axis=1) * c_mask[None]       # [B, P, Cw]
+        return jnp.sum(g, axis=-1) % 2                          # [B, P]
+
+    bits0 = (llr < 0).astype(jnp.int32)
+    clean0 = jnp.all(syndrome(bits0) == 0, axis=-1)            # [B]
+
+    q0 = jnp.where(v_mask[None], llr[:, :, None], 0.0)         # [B, N, Vw]
+
+    def body(state):
+        q, _r, llr_tot, done, iters, it = state
+        qf = q.reshape(b, n * vw)
+        qe = jnp.take(qf, edge_flat.reshape(-1), axis=1).reshape(b, p, cw)
+        t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
+        # exclusive product via forward/backward cumulative products
+        fwd = jnp.concatenate([jnp.ones((b, p, 1)), jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
+        bwd_in = jnp.flip(t, axis=-1)
+        bwd = jnp.concatenate([jnp.ones((b, p, 1)), jnp.cumprod(bwd_in, axis=-1)[..., :-1]], axis=-1)
+        bwd = jnp.flip(bwd, axis=-1)
+        prod_excl = jnp.clip(fwd * bwd, -0.9999999, 0.9999999)
+        r_vals = 2.0 * jnp.arctanh(prod_excl)                   # [B, P, Cw]
+        r_flat = jnp.zeros((b, n * vw + 1), dtype=llr.dtype)
+        r_flat = r_flat.at[:, edge_flat.reshape(-1)].set(r_vals.reshape(b, -1))
+        r_new = r_flat[:, : n * vw].reshape(b, n, vw)
+        llr_new = llr + jnp.sum(jnp.where(v_mask[None], r_new, 0.0), axis=-1)
+        bits = (llr_new < 0).astype(jnp.int32)
+        conv = jnp.all(syndrome(bits) == 0, axis=-1)
+        q_new = jnp.where(v_mask[None], llr_new[:, :, None] - r_new, 0.0)
+        # freeze converged/done codewords
+        keep = done[:, None, None]
+        q = jnp.where(keep, q, q_new)
+        llr_tot = jnp.where(done[:, None], llr_tot, llr_new)
+        iters = jnp.where(conv & ~done, it + 1, iters)
+        done = done | conv
+        return q, r_new, llr_tot, done, iters, it + 1
+
+    def cond(state):
+        _q, _r, _l, done, _i, it = state
+        return (it < max_iter) & ~jnp.all(done)
+
+    r0 = jnp.zeros((b, n, vw), dtype=llr.dtype)
+    iters0 = jnp.where(clean0, 0, max_iter + 1)
+    state = (q0, r0, llr, clean0, iters0, jnp.int32(0))
+    q, _r, llr_tot, done, iters, _ = jax.lax.while_loop(cond, body, state)
+
+    bits = (llr_tot < 0).astype(jnp.int32)
+    return bits, iters.astype(jnp.int32), done

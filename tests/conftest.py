@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+tests work without TPU hardware, per the multi-chip validation strategy."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN = pathlib.Path(__file__).resolve().parent / "golden"
+
+_DTYPES = {"int32": np.int32, "float64": np.float64,
+           "complex128": np.complex128, "float32": np.float32}
+
+
+class GoldenStore:
+    def __init__(self):
+        with open(GOLDEN / "meta.json") as f:
+            self.meta = json.load(f)
+
+    def __call__(self, name: str) -> np.ndarray:
+        info = self.meta[name]
+        arr = np.fromfile(GOLDEN / f"{name}.bin", dtype=_DTYPES[info["dtype"]])
+        return arr.reshape(info["shape"])
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.meta
+
+
+@pytest.fixture(scope="session")
+def golden():
+    return GoldenStore()
