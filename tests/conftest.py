@@ -3,10 +3,18 @@ tests work without TPU hardware, per the multi-chip validation strategy."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; reclaim the CPU backend explicitly so tests run on
+# the virtual 8-device CPU mesh (and float64 works).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import json
 import pathlib
