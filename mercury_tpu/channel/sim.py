@@ -1,0 +1,68 @@
+"""Channel simulator: AWGN, delay, carrier offset, multipath — jax-native.
+
+Replaces the reference's Box-Muller AWGN harness (awgn.cc) for BER testing;
+exact noise-sample parity is not required (SURVEY §7.6), only calibrated
+statistics. Batched: every frame in the batch gets independent noise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def awgn_passband(key, frame: jnp.ndarray, sigma: float, delay: int,
+                  buffer_len: int, fill: str = "noise") -> jnp.ndarray:
+    """Place a passband frame into a capture buffer at `delay` and add white
+    noise of std `sigma` (matching the reference's apply_with_delay semantics:
+    noise everywhere, frame superimposed from `delay`).
+
+    frame: [B, n]; returns [B, buffer_len].
+    """
+    b, n = frame.shape
+    noise = sigma * jax.random.normal(key, (b, buffer_len), dtype=frame.dtype)
+    buf = noise
+    if fill == "signal":  # reference pads the delay region with random signal samples
+        k2 = jax.random.fold_in(key, 1)
+        idx = jax.random.randint(k2, (b, delay), 0, n)
+        buf = buf.at[:, :delay].add(jnp.take_along_axis(frame, idx, axis=1))
+    return buf.at[:, delay:delay + n].add(frame)
+
+
+def sigma_for_esn0(esn0_db: float) -> float:
+    """OFDM convention (reference passband_test_EsN0): sigma = 10^(-EsN0/20).
+    The reference adds noise with amplitude sigma/sqrt(2) per real sample."""
+    return 10 ** (-esn0_db / 20.0) / np.sqrt(2.0)
+
+
+def sigma_for_channel_snr(frame: np.ndarray, snr_db: float, fs: float,
+                          bandwidth: float) -> float:
+    """MFSK convention (reference: telecom_system.cc:271-288): calibrate noise
+    so that in-band SNR = P_signal / (P_noise_total * BW/f_nyquist)."""
+    p_sig = float(np.mean(np.asarray(frame) ** 2))
+    f_nyq = fs / 2.0
+    sigma = np.sqrt(2.0 * p_sig * f_nyq / (10 ** (snr_db / 10.0) * bandwidth))
+    return sigma / np.sqrt(2.0)
+
+
+def apply_cfo(pb: jnp.ndarray, fs: float, fc: float, offset_hz: float) -> jnp.ndarray:
+    """Shift the carrier of a real passband signal by mixing down at fc and
+    up at fc+offset (test-harness equivalent of the reference's -f flag)."""
+    n = pb.shape[-1]
+    x = jnp.fft.fft(pb, axis=-1)
+    freqs = jnp.fft.fftfreq(n, 1 / fs)
+    # frequency-domain shift: positive-frequency content moves by +offset,
+    # negative by -offset (keeps the signal real)
+    k = int(round(offset_hz * n / fs))
+    pos = freqs > 0
+    xs = jnp.where(pos, jnp.roll(x, k, axis=-1), jnp.roll(x, -k, axis=-1))
+    return jnp.real(jnp.fft.ifft(xs, axis=-1))
+
+
+def multipath(pb: jnp.ndarray, taps_delay_samples, taps_gain) -> jnp.ndarray:
+    """Static multipath: sum of delayed/scaled copies."""
+    out = jnp.zeros_like(pb)
+    for d, a in zip(taps_delay_samples, taps_gain):
+        out = out + a * jnp.pad(pb, [(0, 0)] * (pb.ndim - 1) + [(d, 0)])[..., : pb.shape[-1]]
+    return out

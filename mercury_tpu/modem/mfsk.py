@@ -83,8 +83,9 @@ def demod(fft_grid: jnp.ndarray, p: MfskParams, nc: int, nsymb: int) -> jnp.ndar
     band_start = int(p.stream_offsets[0])
     band_end = int(p.stream_offsets[-1]) + p.m
     k = np.arange(nc)
-    noise_mask = jnp.asarray((k < band_start) | (k >= band_end))
-    n_noise = int(noise_mask.sum())
+    noise_mask_np = (k < band_start) | (k >= band_end)
+    n_noise = int(noise_mask_np.sum())
+    noise_mask = jnp.asarray(noise_mask_np)
     if n_noise > 0:
         noise_var = jnp.sum(jnp.where(noise_mask, energy, 0.0), axis=-1) / n_noise
     else:

@@ -1,0 +1,325 @@
+"""Receive chain: passband capture buffer -> decoded payload, batched.
+
+Mirrors the reference receive_byte pipeline (telecom_system.cc:646-1518) with
+a TPU-first control structure: instead of a sequential trial loop with
+data-dependent branches, the chain computes the Schmidl-Cox metric for every
+offset at once (sync.py), decodes at the best hypothesis, and handles retry
+policy by batching hypotheses. All stages are jit-compiled tensor programs;
+channel estimation is a single matmul against the precomputed per-mode
+operator (geometry.est_op).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mercury_tpu.core import crc as crc_mod
+from mercury_tpu.core.geometry import ModeGeometry
+from mercury_tpu.core.modes import ZERO_FORCE
+from mercury_tpu.dsp import ops
+from mercury_tpu.fec import ldpc
+from mercury_tpu.fec.tables import load_code
+from mercury_tpu.modem import mfsk as mfsk_mod
+from mercury_tpu.modem import psk, sync
+
+PILOT_BOOST = 1.33
+
+
+@dataclass
+class RxResult:
+    """Per-frame decode outcome (all arrays batched)."""
+    payload: jnp.ndarray        # [B, frame_bytes] uint8
+    crc_ok: jnp.ndarray         # [B] bool (CRC self-check passed, not all-zeros)
+    delay: jnp.ndarray          # [B] int32 detected frame start (interp samples)
+    freq_offset: jnp.ndarray    # [B] float Hz (Moose)
+    snr_db: jnp.ndarray         # [B] float
+    iters: jnp.ndarray          # [B] int32 LDPC iterations
+    sync_metric: jnp.ndarray    # [B] float coarse sync correlation
+    mean_h: jnp.ndarray         # [B] float mean |H| at pilots (OFDM only)
+
+
+class RxChain:
+    """Per-mode RX program."""
+
+    def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32):
+        self.geom = geom
+        self.real_dtype = real_dtype
+        self.cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+        g = geom
+        self.code = load_code(g.spec.ldpc_rate_num)
+        self._fir_ts = jnp.asarray(g.fir_rx_ts).astype(real_dtype)
+        self._fir_data = jnp.asarray(g.fir_rx_data).astype(real_dtype)
+        self._pad_map = jnp.asarray(g.pad_map)
+        self._bit_iperm = jnp.asarray(g.bit_iperm)
+        self._tf_iperm = jnp.asarray(g.tf_iperm)
+        self._data_cells = jnp.asarray(g.data_cells)
+        self._pilot_cells = jnp.asarray(g.pilot_cells)
+        self._dispersal = jnp.asarray(g.dispersal[: g.n_real].astype(np.int32))
+        if not g.spec.is_mfsk:
+            self._pilot_seq = jnp.asarray(g.pilot_seq).astype(self.cdtype)
+            self._est_op = jnp.asarray(g.est_op).astype(real_dtype)
+            self._const = jnp.asarray(g.constellation).astype(self.cdtype)
+            self._bit_perm = jnp.asarray(g.bit_perm)
+            self._tf_perm = jnp.asarray(g.tf_perm)
+        # known-preamble matched-filter templates (interp-rate waveforms)
+        from mercury_tpu.core import hostdsp
+        if g.spec.is_mfsk:
+            pre_vals = mfsk_mod.preamble_grid(g.mfsk, g.nc, g.preamble_nsymb)
+        else:
+            pre_vals = g.preamble_vals
+            if g.pre_eq is not None:
+                pre_vals = pre_vals * g.pre_eq[None, :]
+        td = np.concatenate([
+            hostdsp.symbol_mod(pre_vals[l], g.nfft, g.ngi, 1)
+            for l in range(g.preamble_nsymb)])
+        tmpl = hostdsp.linear_interp_x4(td, g.interp)
+        self._mf_templates = jnp.asarray(
+            tmpl.reshape(g.preamble_nsymb, g.nofdm * g.interp)).astype(self.cdtype)
+
+        ncheck = g.frame_bytes + 2
+        a, c0 = crc_mod.crc_affine(ncheck)
+        self._crc_a = jnp.asarray(a.astype(np.float32))
+        self._crc_c0 = jnp.asarray(c0.astype(np.int32))
+        self._crc_nbits = ncheck * 8
+
+    # ------------------------------------------------------------------
+    def to_baseband(self, pb: jnp.ndarray, freq_offset=0.0, data_fir: bool = True):
+        """Passband [B, n] -> interpolated-rate complex baseband, mixed at
+        fc + freq_offset ([B] or scalar), FIR filtered (reference
+        passband_to_baseband with decimation_rate=1)."""
+        g = self.geom
+        n = pb.shape[-1]
+        t = jnp.arange(n, dtype=self.real_dtype)
+        f = jnp.asarray(freq_offset, dtype=self.real_dtype)
+        f = jnp.reshape(f, (-1, 1)) if f.ndim else f
+        ph = (2 * np.pi / g.fs) * (g.fc + f) * t
+        iq = pb.astype(self.real_dtype) * np.sqrt(2.0) * (jnp.cos(ph) + 1j * jnp.sin(ph))
+        taps = self._fir_data if data_fir else self._fir_ts
+        return ops.fir_same(iq, taps)
+
+    # ------------------------------------------------------------------
+    def extract_frame(self, bb: jnp.ndarray, delay: jnp.ndarray) -> jnp.ndarray:
+        """Slice the frame at per-row delay and decimate to base rate."""
+        g = self.geom
+        frame_len = g.total_frame_size
+
+        def slice_one(row, d):
+            return jax.lax.dynamic_slice(row, (d,), (frame_len,))
+
+        frames = jax.vmap(slice_one)(bb, delay.astype(jnp.int32))
+        return frames[..., :: g.interp]
+
+    # ------------------------------------------------------------------
+    def demod_grid(self, frame_decim: jnp.ndarray) -> jnp.ndarray:
+        """Decimated frame [B, (P+S)*Nofdm] -> carrier grid [B, S, Nc]."""
+        g = self.geom
+        b = frame_decim.shape[0]
+        data = frame_decim[..., g.preamble_nsymb * g.nofdm:]
+        sym = data.reshape(b, g.nsymb, g.nofdm)
+        return ops.ofdm_demod(sym, self._pad_map, g.nfft, g.ngi)
+
+    # ------------------------------------------------------------------
+    def grid_stats(self, grid: jnp.ndarray):
+        """AGC + channel estimation + equalization for one carrier grid.
+        Returns (equalized flat grid, variance, mean_h, var_full)."""
+        g = self.geom
+        b = grid.shape[0]
+        flat = grid.reshape(b, -1)
+        y_pil = jnp.take(flat, self._pilot_cells, axis=-1)
+        gain = PILOT_BOOST / jnp.mean(jnp.abs(y_pil), axis=-1, keepdims=True)
+        flat = flat * gain
+        y_pil = y_pil * gain
+        h = (y_pil.real @ self._est_op.T) + 1j * (y_pil.imag @ self._est_op.T)
+        h_pil = jnp.take(h, self._pilot_cells, axis=-1)
+        mean_h = jnp.mean(jnp.abs(h_pil), axis=-1)
+        if g.spec.amplitude_restoration:
+            h_eq = h / jnp.maximum(jnp.abs(h), 1e-30)
+        else:
+            h_eq = h
+        eq = flat / h_eq
+        eq_pil = jnp.take(eq, self._pilot_cells, axis=-1)
+        variance = jnp.mean(jnp.abs(eq_pil - self._pilot_seq) ** 2, axis=-1)
+        eq_full_pil = y_pil / h_pil
+        var_full = jnp.mean(jnp.abs(eq_full_pil - self._pilot_seq) ** 2, axis=-1)
+        return eq, variance, mean_h, var_full
+
+    # ------------------------------------------------------------------
+    def decode_ofdm(self, grid: jnp.ndarray):
+        """Carrier grid -> LLRs + channel stats (AGC, estimation,
+        equalization, demapping, deinterleaving)."""
+        g = self.geom
+        eq, variance, mean_h, var_full = self.grid_stats(grid)
+        data = jnp.take(eq, self._data_cells, axis=-1)          # [B, nData]
+        data = jnp.take(data, self._tf_iperm, axis=-1)
+        llr = psk.demod(data, self._const, variance)
+        llr = jnp.take(llr, self._bit_iperm, axis=-1)
+        snr = 10.0 * jnp.log10(1.0 / jnp.maximum(
+            var_full if g.spec.amplitude_restoration else variance, 1e-30))
+        return llr, snr, mean_h, data
+
+    # ------------------------------------------------------------------
+    def _mer_snr(self, real_bits: jnp.ndarray, data_eq: jnp.ndarray) -> jnp.ndarray:
+        """MER-based SNR for the ZF-estimator modes: re-encode the decoded
+        payload, re-modulate, and compare against the equalized data symbols
+        (reference: telecom_system.cc:1376-1401)."""
+        g = self.geom
+        disp = jnp.bitwise_xor(real_bits, self._dispersal[None])
+        u = jnp.concatenate([disp, disp[..., : g.n_virtual]], axis=-1)
+        cw = ldpc.encode(self.code, u)
+        tx_bits = jnp.concatenate([disp, cw[..., self.code.k:]], axis=-1)
+        inter = jnp.take(tx_bits, self._bit_perm, axis=-1)
+        ideal = psk.mod(inter, self._const)                    # tf-deint order
+        var = jnp.mean(jnp.abs(ideal - data_eq) ** 2, axis=-1)
+        return -10.0 * jnp.log10(jnp.maximum(var, 1e-30))
+
+    # ------------------------------------------------------------------
+    def decode_mfsk(self, grid: jnp.ndarray):
+        g = self.geom
+        llr = mfsk_mod.demod(grid, g.mfsk, g.nc, g.nsymb)
+        llr = jnp.take(llr, self._bit_iperm, axis=-1)
+        snr = jnp.zeros(grid.shape[0], dtype=self.real_dtype)
+        return llr, snr, jnp.ones(grid.shape[0], dtype=self.real_dtype)
+
+    # ------------------------------------------------------------------
+    def llr_to_payload(self, llr: jnp.ndarray):
+        """Deinterleaved LLRs [B, nBits] -> LDPC decode -> CRC check
+        (parity/virtual-bit shuffle per telecom_system.cc:1300-1308)."""
+        g = self.geom
+        llr_n = jnp.concatenate([
+            llr[..., : g.n_real],
+            llr[..., : g.n_virtual],
+            llr[..., g.n_real: g.n_real + g.ldpc_p],
+        ], axis=-1).astype(jnp.float32)
+        bits, iters, _conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num)
+        real_bits = jnp.bitwise_xor(bits[..., : g.n_real], self._dispersal[None])
+        all_zeros = jnp.all(real_bits[..., : (g.n_real // 8) * 8] == 0, axis=-1)
+        crc_bits = real_bits[..., : self._crc_nbits]
+        crc = jnp.mod(crc_bits.astype(jnp.float32) @ self._crc_a.T, 2.0).astype(jnp.int32)
+        crc = jnp.bitwise_xor(crc, self._crc_c0[None])
+        crc_ok = jnp.all(crc == 0, axis=-1) & ~all_zeros
+        payload_bits = real_bits[..., : g.frame_bytes * 8]
+        shifts = jnp.arange(8, dtype=jnp.int32)
+        payload = jnp.sum(
+            payload_bits.reshape(*payload_bits.shape[:-1], -1, 8)
+            << shifts, axis=-1).astype(jnp.uint8)
+        return payload, crc_ok, iters, real_bits
+
+    # ------------------------------------------------------------------
+    def decode_at(self, pb_buffer: jnp.ndarray, delay: jnp.ndarray,
+                  freq_offset: jnp.ndarray):
+        """Decode a frame from the capture buffer at a known delay and
+        frequency offset."""
+        g = self.geom
+        bb = self.to_baseband(pb_buffer, freq_offset, data_fir=True)
+        frame = self.extract_frame(bb, delay)
+        grid = self.demod_grid(frame)
+        if g.spec.is_mfsk:
+            llr, snr, mean_h = self.decode_mfsk(grid)
+            payload, crc_ok, iters, _bits = self.llr_to_payload(llr)
+        else:
+            llr, snr, mean_h, data_eq = self.decode_ofdm(grid)
+            payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
+            if g.spec.channel_estimator == ZERO_FORCE:
+                snr = self._mer_snr(real_bits, data_eq)
+        return payload, crc_ok, iters, snr, mean_h
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _receive_jit(self):
+        g = self.geom
+
+        @jax.jit
+        def run(pb_buffer):
+            b = pb_buffer.shape[0]
+            # 1) coarse sync on the time-sync FIR baseband
+            bb_ts = self.to_baseband(pb_buffer, 0.0, data_fir=False)
+            if g.spec.is_mfsk:
+                met = sync.mfsk_sync_metric(bb_ts, g)
+                sym_idx = jnp.argmax(met, axis=-1)
+                delay = (sym_idx * g.nofdm * g.interp).astype(jnp.int32)
+                metric = jnp.take_along_axis(met, sym_idx[:, None], axis=-1)[:, 0]
+                freq = jnp.zeros(b, self.real_dtype)
+                payload, crc_ok, iters, snr, mean_h = self.decode_at(
+                    pb_buffer, delay, freq)
+                return RxResult(payload, crc_ok, delay, freq, snr, iters,
+                                metric, mean_h)
+
+            met = sync.schmidl_cox_metric(bb_ts, g)
+            delay = jnp.argmax(met, axis=-1).astype(jnp.int32)
+            metric = jnp.take_along_axis(met, delay[:, None], axis=-1)[:, 0]
+            # matched-filter refinement (±2 symbols around the SC peak)
+            delay, _mf = sync.matched_filter_refine(
+                bb_ts, delay, self._mf_templates, g,
+                window=2 * g.nofdm * g.interp)
+            # sample a little early inside the guard interval: the exact
+            # frame-start sample sits on the ISI boundary of the RX FIR tails,
+            # a small advance is absorbed by the cyclic prefix + channel
+            # estimator (the reference's fine sync lands 7-13 samples early)
+            delay = delay - 8
+            max_delay = (g.nofdm * g.buffer_nsymb - g.nofdm *
+                         (g.nsymb + g.preamble_nsymb)) * g.interp
+            delay = jnp.clip(delay, 0, max_delay)
+
+            # 2) data-FIR baseband once; Moose CFO at the found delay
+            bb0 = self.to_baseband(pb_buffer, 0.0, data_fir=True)
+            dec0 = self.extract_frame(bb0, delay)              # [B, L] base rate
+            freq_m = sync.moose_cfo(dec0, g).astype(self.real_dtype)
+            freq_m = jnp.where(jnp.abs(freq_m) > 0.1, freq_m, 0.0)
+
+            # 3) CFO hypotheses {Moose, 0}: correct by rotating the extracted
+            #    frame (equivalent to re-mixing at fc+f for narrowband f;
+            #    the reference re-runs the full mixer+FIR instead). Pick the
+            #    hypothesis with the lower pilot variance, then run the
+            #    expensive LDPC decode once. This replaces the reference's
+            #    sequential retry trials with a parallel, fixed-shape select.
+            t_idx = (delay[:, None].astype(self.real_dtype)
+                     + jnp.arange(dec0.shape[-1], dtype=self.real_dtype) * g.interp)
+            grids, variances, stats = [], [], []
+            for f_h in (freq_m, jnp.zeros_like(freq_m)):
+                rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_idx)
+                dec_h = dec0 * rot.astype(self.cdtype)
+                grid_h = self.demod_grid(dec_h)
+                eq, var, mh, var_full = self.grid_stats(grid_h)
+                grids.append(eq)
+                variances.append(var)
+                stats.append((mh, var_full))
+            pick0 = variances[0] < variances[1]                # [B]
+            eq = jnp.where(pick0[:, None], grids[0], grids[1])
+            variance = jnp.where(pick0, variances[0], variances[1])
+            mean_h = jnp.where(pick0, stats[0][0], stats[1][0])
+            var_full = jnp.where(pick0, stats[0][1], stats[1][1])
+            freq = jnp.where(pick0, freq_m, 0.0)
+
+            data = jnp.take(eq, self._data_cells, axis=-1)
+            data = jnp.take(data, self._tf_iperm, axis=-1)
+            llr = psk.demod(data, self._const, variance)
+            llr = jnp.take(llr, self._bit_iperm, axis=-1)
+            payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
+            if g.spec.channel_estimator == ZERO_FORCE:
+                snr = self._mer_snr(real_bits, data)
+            elif g.spec.amplitude_restoration:
+                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(var_full, 1e-30))
+            else:
+                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(variance, 1e-30))
+            return RxResult(payload, crc_ok, delay, freq, snr, iters,
+                            metric, mean_h)
+
+        return run
+
+    def receive(self, pb_buffer) -> RxResult:
+        """Full RX: sync + CFO + decode. pb_buffer: [B, buffer_samples]."""
+        return self._receive_jit(jnp.asarray(pb_buffer))
+
+
+jax.tree_util.register_pytree_node(
+    RxResult,
+    lambda r: ((r.payload, r.crc_ok, r.delay, r.freq_offset, r.snr_db,
+                r.iters, r.sync_metric, r.mean_h), None),
+    lambda _, c: RxResult(*c),
+)

@@ -1,0 +1,241 @@
+"""Synchronization: Schmidl-Cox time sync, Moose fine CFO, MFSK tone sync.
+
+TPU-native formulation: the reference's O(window x preamble) sliding
+correlation (ofdm.cc:1735-1844) collapses into cumulative-sum algebra.  With
+S = (Ngi+Nfft)*R the per-window sums are differences of "comb" arrays
+C[i] = sum_l P[i + l*S] (P a prefix sum), so the correlation metric for EVERY
+candidate offset is computed with a handful of shifted vector ops — no
+gathers, no loops, exact same metric as the reference at step=1 (the
+reference subsamples with step=100; evaluating all offsets is strictly
+better and free here).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mercury_tpu.core.geometry import ModeGeometry
+
+
+def _comb(prefix: jnp.ndarray, n_sections: int, stride: int, out_len: int) -> jnp.ndarray:
+    """C[i] = sum_{l<n_sections} prefix[i + l*stride], for i < out_len."""
+    acc = prefix[..., :out_len]
+    for l in range(1, n_sections):
+        acc = acc + prefix[..., l * stride: l * stride + out_len]
+    return acc
+
+
+def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
+    """Normalized Schmidl-Cox correlation for every candidate start offset.
+
+    bb: interpolated-rate baseband [B, n]. Returns metric [B, n_cand] where
+    n_cand = n - preamble_len + 1 clipped to >= 1. Matches the reference
+    time_sync_preamble metric: GI-lag and half-symbol-lag correlations summed
+    over the preamble symbols, normalized by sqrt(norm_a * norm_b); windows
+    with tiny energy are zeroed (norm < 0.001 guard, ofdm.cc:1813-1816).
+    """
+    r = geom.interp
+    nfft_r, ngi_r = geom.nfft * r, geom.ngi * r
+    half_r = (geom.nfft // 2) * r
+    s = nfft_r + ngi_r
+    lp = geom.preamble_nsymb
+    n = bb.shape[-1]
+    n_cand = max(n - lp * s, 1)
+
+    # lag products and energy
+    p1 = jnp.real(bb[..., :-nfft_r] * jnp.conj(bb[..., nfft_r:]))
+    p2 = jnp.real(bb[..., :-half_r] * jnp.conj(bb[..., half_r:]))
+    e = jnp.real(bb) ** 2 + jnp.imag(bb) ** 2
+
+    zero = jnp.zeros_like(bb[..., :1].real)
+    cp1 = jnp.concatenate([zero, jnp.cumsum(p1, axis=-1)], axis=-1)
+    cp2 = jnp.concatenate([zero, jnp.cumsum(p2, axis=-1)], axis=-1)
+    ce = jnp.concatenate([zero, jnp.cumsum(e, axis=-1)], axis=-1)
+
+    out_len = n_cand
+    c1 = _comb(cp1, lp, s, out_len + ngi_r)
+    c2 = _comb(cp2, lp, s, out_len + ngi_r + half_r)
+    cee = _comb(ce, lp, s, out_len + s)
+
+    gi_num = c1[..., ngi_r: ngi_r + out_len] - c1[..., :out_len]
+    half_num = (c2[..., ngi_r + half_r: ngi_r + half_r + out_len]
+                - c2[..., ngi_r: ngi_r + out_len])
+    norm_a = cee[..., ngi_r + half_r: ngi_r + half_r + out_len] - cee[..., :out_len]
+    norm_b = (2.0 * cee[..., s: s + out_len]
+              - cee[..., nfft_r: nfft_r + out_len]
+              - cee[..., ngi_r + half_r: ngi_r + half_r + out_len])
+    corr = gi_num + half_num
+    denom = jnp.sqrt(jnp.maximum(norm_a * norm_b, 1e-30))
+    metric = jnp.where((norm_a < 1e-3) | (norm_b < 1e-3), 0.0, corr / denom)
+    return metric
+
+
+def matched_filter_refine(bb: jnp.ndarray, coarse_delay: jnp.ndarray,
+                          templates: jnp.ndarray, geom: ModeGeometry,
+                          window: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Refine the Schmidl-Cox delay with a known-preamble matched filter.
+
+    The self-referential Schmidl-Cox metric has a plateau: offsets one whole
+    preamble symbol early/late still overlap 3 of 4 identical halves, so
+    noise can tip the argmax by ±(Nofdm*R). Correlating against the *known*
+    preamble waveform kills the ambiguity. To stay CFO-tolerant the
+    correlation is coherent per preamble symbol and combined non-coherently
+    (|.| per symbol): a 30 Hz offset costs <1 dB per 5.7 ms symbol instead of
+    destroying a 23 ms coherent correlation. (New capability vs the
+    reference, which retries decode trials instead.)
+
+    bb: [B, n] interp-rate baseband. templates: [Lp, S] complex preamble
+    symbol waveforms (interp rate, incl. GI). Returns (delay [B], score [B]).
+    """
+    lp, s = templates.shape
+    seg_len = 2 * window + lp * s
+    n = bb.shape[-1]
+    start = jnp.clip(coarse_delay - window, 0, max(n - seg_len, 0))
+
+    def slice_one(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (seg_len,))
+
+    seg = jax.vmap(slice_one)(bb, start)
+
+    nfft2 = 1
+    while nfft2 < seg_len:
+        nfft2 *= 2
+    xf = jnp.fft.fft(seg, n=nfft2, axis=-1)
+    tf = jnp.fft.fft(templates, n=nfft2, axis=-1)              # [Lp, nfft2]
+    corr = jnp.fft.ifft(xf[:, None, :] * jnp.conj(tf)[None], axis=-1)
+
+    e = jnp.abs(seg) ** 2
+    ce = jnp.concatenate([jnp.zeros_like(e[..., :1]), jnp.cumsum(e, axis=-1)], axis=-1)
+    n_cand = 2 * window + 1
+    t_norm = jnp.sqrt(jnp.sum(jnp.abs(templates) ** 2, axis=-1))  # [Lp]
+
+    score = jnp.zeros((bb.shape[0], n_cand), dtype=bb.real.dtype)
+    for l in range(lp):
+        c_l = jnp.abs(corr[:, l, l * s: l * s + n_cand])
+        e_l = ce[..., l * s + s: l * s + s + n_cand] - ce[..., l * s: l * s + n_cand]
+        score = score + c_l / (jnp.sqrt(jnp.maximum(e_l, 1e-30)) * t_norm[l])
+    best = jnp.argmax(score, axis=-1)
+    delay = start + best
+    return delay.astype(jnp.int32), jnp.take_along_axis(score, best[:, None], axis=-1)[:, 0] / lp
+
+
+def moose_cfo(frame_decim: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
+    """Fine fractional CFO from preamble half-symbol repetition
+    (reference: carrier_sampling_frequency_sync, ofdm.cc:540-595).
+
+    frame_decim: [B, >= preamble_nsymb*Nofdm] decimated baseband starting at
+    the frame (preamble first). Returns frequency offset in Hz [B].
+    The reference skips the GI (called with &baseband[Ngi]) and uses
+    preamble_nsymb/2 symbols (min 1), duplicating each half into an Nfft
+    frame, FFT, depad, and correlating the two halves across carriers.
+    """
+    nfft, ngi, nc = geom.nfft, geom.ngi, geom.nc
+    nsym = max(geom.preamble_nsymb // 2, 1)
+    pad_map = jnp.asarray(geom.pad_map)
+    subc = geom.bandwidth / nc
+
+    mul = jnp.zeros(frame_decim.shape[:-1], dtype=frame_decim.dtype)
+    for j in range(nsym):
+        base = ngi + j * (nfft + ngi)
+        h1 = frame_decim[..., base: base + nfft // 2]
+        h2 = frame_decim[..., base + nfft // 2: base + nfft]
+        f1 = jnp.concatenate([h1, h1], axis=-1)
+        f2 = jnp.concatenate([h2, h2], axis=-1)
+        d1 = (jnp.fft.fft(f1, axis=-1) / nfft)[..., pad_map]
+        d2 = (jnp.fft.fft(f2, axis=-1) / nfft)[..., pad_map]
+        mul = mul + jnp.sum(jnp.conj(d2) * d1, axis=-1)
+    # reference get_angle() == atan2 in (-pi, pi]
+    angle = jnp.arctan2(jnp.imag(mul), jnp.real(mul))
+    return (angle / np.pi) * subc
+
+
+def mfsk_sync_metric(bb: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
+    """MFSK preamble tone correlation per symbol-aligned offset
+    (reference: time_sync_mfsk, ofdm.cc:1969-2063).
+
+    bb: interpolated baseband [B, n]. Returns metric [B, n_symb_cand] where
+    candidate s corresponds to delay s * Nofdm * interp.
+    """
+    p = geom.mfsk
+    r = geom.interp
+    nofdm, nfft, ngi, nc = geom.nofdm, geom.nfft, geom.ngi, geom.nc
+    n = bb.shape[-1]
+    buffer_nsymb = n // (nofdm * r)
+    lp = min(geom.preamble_nsymb, len(p.preamble_tones))
+    n_cand = buffer_nsymb - geom.preamble_nsymb + 1
+
+    # decimate, frame into symbols, FFT each symbol
+    dec = bb[..., ::r][..., : buffer_nsymb * nofdm]
+    sym = dec.reshape(*bb.shape[:-1], buffer_nsymb, nofdm)[..., ngi: ngi + nfft]
+    spec = jnp.fft.fft(sym, axis=-1) / nfft
+    grid = spec[..., jnp.asarray(geom.pad_map)]               # [B, S, Nc]
+    energy = jnp.abs(grid) ** 2
+    e_total = jnp.sum(energy, axis=-1)                        # [B, S]
+
+    # per preamble symbol p: energy at expected tone bins across streams
+    ratios = []
+    for pp in range(geom.preamble_nsymb):
+        tone = int(p.preamble_tones[pp % lp])
+        e_t = sum(energy[..., int(off) + tone] for off in p.stream_offsets)
+        ratios.append(jnp.where(e_total > 0, e_t / jnp.maximum(e_total, 1e-30), 0.0))
+    ratio = jnp.stack(ratios, axis=-1)                        # [B, S, Lp]
+
+    # metric(s) = sum_p ratio[s+p, p]
+    met = jnp.zeros((*bb.shape[:-1], n_cand), dtype=ratio.dtype)
+    for pp in range(geom.preamble_nsymb):
+        met = met + ratio[..., pp: pp + n_cand, pp]
+    return met
+
+
+def pattern_detect_metric(bb: jnp.ndarray, geom: ModeGeometry, tones: np.ndarray,
+                          mfsk_params=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ACK/BREAK tone-pattern detection (reference: detect_ack_pattern,
+    ofdm.cc:2067-2186): per symbol-aligned window, count symbols whose
+    expected hopped tone is the peak of its stream band, and accumulate
+    E_target/E_total for the matched symbols.
+
+    Returns (metric [B, n_cand], matched [B, n_cand]).
+    """
+    p = mfsk_params if mfsk_params is not None else geom.mfsk
+    r = geom.interp
+    nofdm, ngi = geom.nofdm, geom.ngi
+    n = bb.shape[-1]
+    buffer_nsymb = n // (nofdm * r)
+    nsymb_pat = p.ack_pattern_nsymb
+    n_cand = buffer_nsymb - nsymb_pat + 1
+    if n_cand < 1:
+        z = jnp.zeros((*bb.shape[:-1], 1))
+        return z, z
+
+    dec = bb[..., ::r][..., : buffer_nsymb * nofdm]
+    sym = dec.reshape(*bb.shape[:-1], buffer_nsymb, nofdm)[..., ngi: ngi + geom.nfft]
+    spec = jnp.fft.fft(sym, axis=-1) / geom.nfft
+    grid = spec[..., jnp.asarray(geom.pad_map)]
+    energy = jnp.abs(grid) ** 2                                # [B, S, Nc]
+    e_total = jnp.sum(energy, axis=-1)
+
+    contrib = []   # [B, S] per pattern position
+    hit = []
+    for pos in range(nsymb_pat):
+        base = int(tones[pos % len(tones)])
+        actual = (base + pos * p.tone_hop_step) % p.m
+        e_exp = sum(energy[..., int(off) + actual] for off in p.stream_offsets)
+        any_peak = False
+        for off in p.stream_offsets:
+            band = energy[..., int(off): int(off) + p.m]
+            peak = jnp.max(band, axis=-1)
+            e_this = energy[..., int(off) + actual]
+            any_peak = (e_this >= peak) | any_peak
+        contrib.append(jnp.where(any_peak, e_exp / jnp.maximum(e_total, 1e-30), 0.0))
+        hit.append(any_peak)
+    contrib = jnp.stack(contrib, axis=-1)                      # [B, S, 16]
+    hit = jnp.stack(hit, axis=-1)
+
+    met = jnp.zeros((*bb.shape[:-1], n_cand))
+    cnt = jnp.zeros((*bb.shape[:-1], n_cand))
+    for pos in range(nsymb_pat):
+        met = met + contrib[..., pos: pos + n_cand, pos]
+        cnt = cnt + hit[..., pos: pos + n_cand, pos]
+    return met, cnt

@@ -167,8 +167,19 @@ class TxChain:
         return run
 
     def transmit(self, payload_bytes, filtered: bool = True) -> jnp.ndarray:
-        """payload bytes [B, frame_bytes] -> passband [B, total_frame_size]."""
+        """payload bytes [B, <=frame_bytes] -> passband [B, total_frame_size].
+        Short payloads are zero-padded to the frame size (the CRC covers the
+        padded frame, matching reference transmit_byte semantics)."""
         payload_bytes = jnp.asarray(payload_bytes)
+        nb = payload_bytes.shape[-1]
+        if nb > self.geom.frame_bytes:
+            raise ValueError(
+                f"payload is {nb} bytes but {self.geom.spec.config} frames "
+                f"carry at most {self.geom.frame_bytes} bytes")
+        if nb < self.geom.frame_bytes:
+            pad = jnp.zeros((*payload_bytes.shape[:-1],
+                             self.geom.frame_bytes - nb), dtype=payload_bytes.dtype)
+            payload_bytes = jnp.concatenate([payload_bytes, pad], axis=-1)
         if filtered:
             return self._transmit_jit(payload_bytes)
         return self._transmit_nofilter_jit(payload_bytes)

@@ -256,7 +256,23 @@ static void dump_config(cl_telecom_system &ts, int cfg, const std::string &tag) 
 }
 
 int main(int argc, char **argv) {
-  if (argc < 2) { fprintf(stderr, "usage: golden_gen <outdir> [cfg...]\n"); return 1; }
+  if (argc < 2) { fprintf(stderr, "usage: golden_gen <outdir> [cfg...] | ber <cfg> <esn0> <nframes>\n"); return 1; }
+
+  // BER harness mode: run the reference's own passband Monte-Carlo test.
+  if (std::string(argv[1]) == "ber" && argc >= 5) {
+    static cl_telecom_system ts;
+    ts.operation_mode = ARQ_MODE;
+    int cfg = atoi(argv[2]);
+    float esn0 = atof(argv[3]);
+    int nframes = atoi(argv[4]);
+    ts.load_configuration(cfg);
+    cl_error_rate er = ts.passband_test_EsN0(esn0, nframes);
+    printf("BER_RESULT cfg=%d esn0=%.2f frames=%.0f ferrors=%.0f fer=%.4f ber=%.6f\n",
+           cfg, esn0, er.Frames_total, er.Error_frames_total,
+           er.Error_frames_total / er.Frames_total,
+           er.Error_bits_total / er.Bits_total);
+    return 0;
+  }
   g_outdir = argv[1];
   std::string meta_path = g_outdir + "/meta.json";
   g_meta = fopen(meta_path.c_str(), "w");
