@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: RX samples/s/chip (full demod + LDPC decode).
+
+Runs the complete per-mode RX program (mixer + FIR + sync + channel est +
+equalize + demap + LDPC BP + CRC) on a batch of capture buffers and measures
+passband samples processed per second on one chip.
+
+Baseline: the reference C++ modem's receive_byte throughput on this host's
+CPU (tools/golden_gen rxbench 9 -> 1.77 Msamples/s single thread).
+vs_baseline is the speedup over that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The main process only orchestrates: the measurement runs in a subprocess so a
+wedged TPU tunnel (this environment's axon relay can hang after an aborted
+session) times out cleanly and falls back to the CPU backend rather than
+hanging the driver.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REFERENCE_CPU_SAMPLES_PER_S = 1.77e6  # tools/golden_gen rxbench 9 10 (this host)
+CFG = 9            # QPSK 8/16 — mid-ladder workhorse mode
+BATCH = 32
+REPS = 10
+TPU_TIMEOUT_S = 900
+
+
+def worker(platform: str) -> None:
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mercury_tpu.channel import sim
+    from mercury_tpu.core.geometry import build_geometry
+    from mercury_tpu.modem.rx import RxChain
+    from mercury_tpu.modem.tx import TxChain
+    import numpy as np
+
+    g = build_geometry(CFG)
+    tx, rx = TxChain(g), RxChain(g)
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, (BATCH, g.frame_bytes)).astype(np.uint8)
+    frames = tx.transmit(payload)
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
+    buf = sim.awgn_passband(jax.random.key(1), frames, sim.sigma_for_esn0(12.0),
+                            delay, buf_len)
+    buf = jnp.asarray(buf, dtype=jnp.float32)
+
+    res = rx.receive(buf)           # compile + warmup
+    ok = np.asarray(res.crc_ok)
+    if not ok.all():
+        print(f"warning: only {int(ok.sum())}/{BATCH} decoded in warmup",
+              file=sys.stderr)
+    jax.block_until_ready(res.payload)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        res = rx.receive(buf)
+    jax.block_until_ready(res.payload)
+    dt = time.perf_counter() - t0
+
+    sps = BATCH * buf_len * REPS / dt
+    print(json.dumps({
+        "metric": "rx_demod_ldpc_samples_per_sec_per_chip",
+        "value": round(sps / 1e6, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_S, 2),
+        "platform": platform,
+    }))
+
+
+def run_worker(platform: str, timeout: int) -> str | None:
+    env = dict(os.environ)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", platform],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"bench worker ({platform}) timed out", file=sys.stderr)
+        return None
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            return line
+    print(p.stderr[-2000:], file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+        return 0
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    line = None
+    if not want_cpu:
+        line = run_worker("tpu", TPU_TIMEOUT_S)
+    if line is None:
+        line = run_worker("cpu", TPU_TIMEOUT_S)
+    if line is None:
+        print(json.dumps({"metric": "rx_demod_ldpc_samples_per_sec_per_chip",
+                          "value": 0.0, "unit": "Msamples/s",
+                          "vs_baseline": 0.0, "error": "all backends failed"}))
+        return 1
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

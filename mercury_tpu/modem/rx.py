@@ -231,10 +231,10 @@ class RxChain:
 
     # ------------------------------------------------------------------
     @functools.cached_property
-    def _receive_jit(self):
+    def receive_fn(self):
+        """The un-jitted receive program (for custom jit/sharding wrappers)."""
         g = self.geom
 
-        @jax.jit
         def run(pb_buffer):
             b = pb_buffer.shape[0]
             # 1) coarse sync on the time-sync FIR baseband
@@ -311,6 +311,10 @@ class RxChain:
                             metric, mean_h)
 
         return run
+
+    @functools.cached_property
+    def _receive_jit(self):
+        return jax.jit(self.receive_fn)
 
     def receive(self, pb_buffer) -> RxResult:
         """Full RX: sync + CFO + decode. pb_buffer: [B, buffer_samples]."""

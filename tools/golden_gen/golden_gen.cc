@@ -30,6 +30,7 @@
 #include "physical_layer/mercury_normal_14_16.h"
 #include "common/os_interop.h"
 
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -257,6 +258,40 @@ static void dump_config(cl_telecom_system &ts, int cfg, const std::string &tag) 
 
 int main(int argc, char **argv) {
   if (argc < 2) { fprintf(stderr, "usage: golden_gen <outdir> [cfg...] | ber <cfg> <esn0> <nframes>\n"); return 1; }
+
+  // RX throughput mode: time the reference receive_byte on this host CPU.
+  if (std::string(argv[1]) == "rxbench" && argc >= 4) {
+    static cl_telecom_system ts;
+    ts.operation_mode = ARQ_MODE;
+    int cfg = atoi(argv[2]);
+    int reps = atoi(argv[3]);
+    ts.load_configuration(cfg);
+    cl_data_container &dc = ts.data_container;
+    int nReal = dc.nBits - ts.ldpc.P;
+    int frame_bytes = (nReal - ts.outer_code_reserved_bits) / 8;
+    std::vector<int> payload(frame_bytes + 2, 0x5A);
+    ts.ofdm.passband_start_sample = 0;
+    ts.transmit_byte(payload.data(), frame_bytes, dc.passband_data, SINGLE_MESSAGE);
+    long buf_n = (long)dc.Nofdm * dc.buffer_Nsymb * dc.interpolation_rate;
+    int delay = ((dc.preamble_nSymb + 2) * dc.Nofdm + 50) * dc.interpolation_rate;
+    srand(7);
+    ts.awgn_channel.apply_with_delay(dc.passband_data, dc.passband_delayed_data,
+                                     0.05f, dc.total_frame_size, delay);
+    for (long i = delay + dc.total_frame_size; i < buf_n; i++)
+      dc.passband_delayed_data[i] = 0.0;
+    std::vector<int> out_bytes(N_MAX, 0);
+    auto t0 = std::chrono::steady_clock::now();
+    int decoded = 0;
+    for (int r = 0; r < reps; r++) {
+      st_receive_stats st = ts.receive_byte(dc.passband_delayed_data, out_bytes.data());
+      decoded += (st.message_decoded == YES);
+    }
+    double secs = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    printf("RXBENCH cfg=%d reps=%d decoded=%d secs=%.3f samples_per_s=%.0f\n",
+           cfg, reps, decoded, secs, (double)reps * buf_n / secs);
+    return 0;
+  }
 
   // BER harness mode: run the reference's own passband Monte-Carlo test.
   if (std::string(argv[1]) == "ber" && argc >= 5) {
