@@ -45,11 +45,22 @@ class RxResult:
 
 
 class RxChain:
-    """Per-mode RX program."""
+    """Per-mode RX program.
 
-    def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32):
+    ctrl=True decodes MFSK short control frames: only ctrl_nsymb symbols are
+    demodulated and LLRs beyond ctrl_nbits are zeroed (punctured positions =
+    erasures; reference telecom_system.cc:1184-1193).
+    """
+
+    def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
+                 ctrl: bool = False):
         self.geom = geom
         self.real_dtype = real_dtype
+        if ctrl and not (geom.spec.is_mfsk and geom.spec.ctrl_nbits > 0):
+            raise ValueError("ctrl frames exist only for ROBUST_0/ROBUST_1")
+        self.ctrl = ctrl
+        self.active_nsymb = geom.ctrl_nsymb if ctrl else geom.nsymb
+        self.active_nbits = geom.spec.ctrl_nbits if ctrl else geom.n_bits
         self.cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
         g = geom
         self.code = load_code(g.spec.ldpc_rate_num)
@@ -107,7 +118,7 @@ class RxChain:
     def extract_frame(self, bb: jnp.ndarray, delay: jnp.ndarray) -> jnp.ndarray:
         """Slice the frame at per-row delay and decimate to base rate."""
         g = self.geom
-        frame_len = g.total_frame_size
+        frame_len = g.nofdm * (self.active_nsymb + g.preamble_nsymb) * g.interp
 
         def slice_one(row, d):
             return jax.lax.dynamic_slice(row, (d,), (frame_len,))
@@ -121,7 +132,7 @@ class RxChain:
         g = self.geom
         b = frame_decim.shape[0]
         data = frame_decim[..., g.preamble_nsymb * g.nofdm:]
-        sym = data.reshape(b, g.nsymb, g.nofdm)
+        sym = data.reshape(b, self.active_nsymb, g.nofdm)
         return ops.ofdm_demod(sym, self._pad_map, g.nfft, g.ngi)
 
     # ------------------------------------------------------------------
@@ -181,7 +192,11 @@ class RxChain:
     # ------------------------------------------------------------------
     def decode_mfsk(self, grid: jnp.ndarray):
         g = self.geom
-        llr = mfsk_mod.demod(grid, g.mfsk, g.nc, g.nsymb)
+        llr = mfsk_mod.demod(grid, g.mfsk, g.nc, self.active_nsymb)
+        if self.active_nbits < g.n_bits:   # punctured positions = erasures
+            pad = jnp.zeros((*llr.shape[:-1], g.n_bits - self.active_nbits),
+                            dtype=llr.dtype)
+            llr = jnp.concatenate([llr, pad], axis=-1)
         llr = jnp.take(llr, self._bit_iperm, axis=-1)
         snr = jnp.zeros(grid.shape[0], dtype=self.real_dtype)
         return llr, snr, jnp.ones(grid.shape[0], dtype=self.real_dtype)

@@ -30,12 +30,22 @@ from mercury_tpu.modem import psk
 
 @dataclass
 class TxChain:
-    """Per-mode TX program. Construct once, call transmit() on byte batches."""
+    """Per-mode TX program. Construct once, call transmit() on byte batches.
+
+    ctrl=True selects the MFSK short control frame: only the first ctrl_nbits
+    interleaved bits are modulated (punctured LDPC), giving ctrl_nsymb
+    symbols instead of Nsymb (reference: telecom_system.cc:411-416,2968-2994).
+    """
     geom: ModeGeometry
     real_dtype: Any = jnp.float32
+    ctrl: bool = False
 
     def __post_init__(self):
         g = self.geom
+        if self.ctrl and not (g.spec.is_mfsk and g.spec.ctrl_nbits > 0):
+            raise ValueError("ctrl frames exist only for ROBUST_0/ROBUST_1")
+        self.active_nsymb = g.ctrl_nsymb if self.ctrl else g.nsymb
+        self.active_nbits = g.spec.ctrl_nbits if self.ctrl else g.n_bits
         self.cdtype = jnp.complex128 if self.real_dtype == jnp.float64 else jnp.complex64
         self.code = load_code(g.spec.ldpc_rate_num)
         a, c0 = crc_mod.crc_affine(g.frame_bytes)
@@ -108,7 +118,8 @@ class TxChain:
         inter = jnp.take(tx_bits, self._bit_perm, axis=-1)
 
         if g.spec.is_mfsk:
-            grid = mfsk_mod.mod(inter, g.mfsk, g.nc, g.nsymb, self.cdtype)
+            grid = mfsk_mod.mod(inter[..., : self.active_nbits], g.mfsk, g.nc,
+                                self.active_nsymb, self.cdtype)
         else:
             syms = psk.mod(inter, self._const)
             syms = jnp.take(syms, self._tf_perm, axis=-1)

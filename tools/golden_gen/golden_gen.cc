@@ -259,6 +259,15 @@ static void dump_config(cl_telecom_system &ts, int cfg, const std::string &tag) 
 int main(int argc, char **argv) {
   if (argc < 2) { fprintf(stderr, "usage: golden_gen <outdir> [cfg...] | ber <cfg> <esn0> <nframes>\n"); return 1; }
 
+  // ACK-pattern detection sweep (reference's own self-test).
+  if (std::string(argv[1]) == "acktest" && argc >= 3) {
+    static cl_telecom_system ts;
+    ts.operation_mode = ARQ_MODE;
+    ts.load_configuration(atoi(argv[2]));
+    ts.ack_pattern_detection_test();
+    return 0;
+  }
+
   // RX throughput mode: time the reference receive_byte on this host CPU.
   if (std::string(argv[1]) == "rxbench" && argc >= 4) {
     static cl_telecom_system ts;
