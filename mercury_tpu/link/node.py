@@ -1,0 +1,449 @@
+"""ARQ node: commander/responder state machines over the batched PHY.
+
+Wire-compatible with the reference's data-link layer (frame headers,
+START_CONNECTION handshake with callsign CRC8, SET_CONFIG gearshift, pattern
+ACKs, BREAK emergency drop — source/datalink_layer/arq_*.cc), with a
+deliberately tightened block-ACK rule: the responder only pattern-ACKs a data
+block when EVERY message of the block decoded (the reference ACKs whatever
+arrived when BLOCK_END lands, which can drop frames silently under partial
+loss). The commander's per-block retransmission covers misses either way.
+
+The node is clock-agnostic: `poll(now_ms)` advances timers and returns
+passband blocks to transmit; `on_samples()` delivers capture audio. The
+simulation harness (link.sim) drives two nodes through the channel model with
+a simulated clock; a real-time transport can drive the same node off a sound
+card or socket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from mercury_tpu.core.geometry import build_geometry
+from mercury_tpu.core.modes import FULL_CONFIG_LADDER, ROBUST_0
+from mercury_tpu.link import protocol as P
+from mercury_tpu.modem.patterns import PatternSignaler
+from mercury_tpu.modem.rx import RxChain
+from mercury_tpu.modem.tx import TxChain
+
+
+@dataclass
+class ArqConfig:
+    """Link defaults (reference: datalink_config.cc:25-65)."""
+    init_configuration: int = 0
+    ack_configuration: int = 0
+    gear_shift_on: bool = True
+    robust_enabled: bool = True
+    batch_size: int = 5
+    n_messages: int = 20
+    n_resends: int = 20
+    link_timeout_ms: int = 30000
+    ptt_on_delay_ms: int = 100
+    ptt_off_delay_ms: int = 200
+    frame_shift_threshold: int = 3
+    emergency_nack_threshold: int = 2
+
+
+@dataclass
+class LinkStats:
+    sent_data: int = 0
+    acked_data: int = 0
+    received_data: int = 0
+    resent_data: int = 0
+    blocks_sent: int = 0
+    blocks_acked: int = 0
+    gearshift_ups: int = 0
+    gearshift_downs: int = 0
+    breaks_sent: int = 0
+
+
+class _PhyCache:
+    """Per-config PHY chain cache shared between nodes in one process."""
+    _cache: dict = {}
+
+    @classmethod
+    def get(cls, cfg: int):
+        if cfg not in cls._cache:
+            g = build_geometry(cfg)
+            cls._cache[cfg] = (g, TxChain(g), RxChain(g), PatternSignaler(g))
+        return cls._cache[cfg]
+
+
+class ArqNode:
+    """One end of an ARQ link."""
+
+    def __init__(self, call_sign: str, role: int,
+                 config: ArqConfig | None = None,
+                 on_event: Callable[[str], None] | None = None):
+        self.cfg = config or ArqConfig()
+        self.call_sign = call_sign.upper()
+        self.role = role
+        self.on_event = on_event or (lambda s: None)
+        self.stats = LinkStats()
+
+        self.link_status = P.LISTENING if role == P.RESPONDER else P.IDLE
+        self.connection_status = P.IDLE
+        self.connection_id = P.BROADCAST_ID
+        self.destination_call_sign = ""
+
+        self.fifo_tx = bytearray()
+        self.fifo_rx = bytearray()
+
+        self._set_config(self.cfg.init_configuration)
+
+        # pending TX block state (commander)
+        self._block_msgs: list[P.Message] = []
+        self._await_ack_kind: str | None = None   # 'data' | 'control'
+        self._await_deadline = 0.0
+        self._pending_control: P.Message | None = None
+        self._resends_left = self.cfg.n_resends
+        self.consecutive_data_acks = 0
+        self.frame_shift_threshold = self.cfg.frame_shift_threshold
+        self._gear_pending: int | None = None
+        self.emergency_nacks = 0
+        self._last_now = 0.0
+
+        # responder RX block state
+        self._rx_msgs: dict[int, P.Message] = {}
+
+        self._capture: np.ndarray | None = None
+
+    # ------------------------------------------------------------------
+    def _requeue_block(self) -> None:
+        """Push un-ACKed block data back to the front of the TX FIFO so it is
+        re-framed for the (possibly different) new frame size (reference
+        push_front restore, arq_commander.cc:1113-1120)."""
+        if getattr(self, "_block_msgs", None):
+            restored = b"".join(m.data[: m.length] for m in self._block_msgs)
+            self.fifo_tx[:0] = restored
+            self._block_msgs = []
+
+    def _set_config(self, config: int) -> None:
+        if getattr(self, "current_configuration", None) == config:
+            return
+        self._requeue_block()
+        self.current_configuration = config
+        g, tx, rx, pat = _PhyCache.get(config)
+        self.geom, self._tx, self._rx, self._pat = g, tx, rx, pat
+        self.max_data_length = g.frame_bytes - P.MAX_HEADER_LEN
+        self.frame_ms = 1000.0 * g.total_frame_size / g.fs
+        self.ack_pattern_ms = 1000.0 * self._pat.passband_samples / g.fs
+        # ack timeout covers batch TX + pattern + PTT turnarounds
+        # (reference: arq_common.cc:715-725)
+        self.ack_timeout_ms = ((self.cfg.batch_size + 1) * self.frame_ms
+                               + self.ack_pattern_ms
+                               + 4 * self.cfg.ptt_on_delay_ms
+                               + 4 * self.cfg.ptt_off_delay_ms + 1500)
+
+    # ------------------------------------------------------------------
+    # application API
+    def send_data(self, data: bytes) -> None:
+        self.fifo_tx.extend(data)
+
+    def received(self) -> bytes:
+        out = bytes(self.fifo_rx)
+        self.fifo_rx.clear()
+        return out
+
+    def connect(self, destination: str) -> None:
+        assert self.role == P.COMMANDER
+        self.destination_call_sign = destination.upper()
+        self.link_status = P.CONNECTING
+
+    # ------------------------------------------------------------------
+    # modulation helpers
+    def _modulate_batch(self, messages: list[P.Message]) -> np.ndarray:
+        """Serialize messages and modulate them into one passband block."""
+        frames = []
+        for m in messages:
+            payload = P.serialize(m, self.connection_id)
+            buf = np.zeros(self.geom.frame_bytes, dtype=np.uint8)
+            buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+            frames.append(buf)
+        batch = np.stack(frames)
+        pb = np.asarray(self._tx.transmit(batch))
+        return pb.reshape(-1)
+
+    def _start_wait(self, kind: str, now: float) -> None:
+        self._await_ack_kind = kind
+        self._await_deadline = now + self.ack_timeout_ms
+
+    # ------------------------------------------------------------------
+    # capture handling
+    def on_samples(self, samples: np.ndarray, now: float) -> None:
+        """Deliver a received passband block; the node decodes according to
+        its state."""
+        self._last_now = now
+        if self._await_ack_kind is not None:
+            # expecting an ACK pattern
+            metric, _ = self._pat.detect_ack(samples[None])
+            if float(np.asarray(metric)[0]) >= self._pat.threshold:
+                self._on_ack_pattern(now)
+                return
+            # also watch for BREAK while waiting
+            bmetric, _ = self._pat.detect_break(samples[None])
+            if float(np.asarray(bmetric)[0]) >= self._pat.threshold:
+                self._on_break_detected(now)
+            return
+
+        if self.role == P.RESPONDER or self.link_status == P.CONNECTED:
+            decoded_before = self.stats.received_data
+            got_ctrl = self._receive_frames(samples, now)
+            if (self.role == P.RESPONDER
+                    and self.stats.received_data == decoded_before
+                    and not got_ctrl):
+                # nothing decoded — check for an emergency BREAK pattern
+                # (reference: arq_common.cc:2855-2869)
+                bmetric, _ = self._pat.detect_break(samples[None])
+                if float(np.asarray(bmetric)[0]) >= self._pat.threshold:
+                    self._on_break_detected(now)
+
+    def _receive_frames(self, samples: np.ndarray, now: float) -> None:
+        """Decode every frame in a delivered block: run full sync on a window
+        containing only the first frame (the Schmidl-Cox argmax is ambiguous
+        when several back-to-back frames sit in one window), then batch-decode
+        the remaining frames at their contiguous offsets in one jitted call."""
+        g = self.geom
+        buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        frame_len = g.total_frame_size
+        n_frames = int(round(len(samples) / frame_len))
+        if n_frames < 1:
+            return False
+
+        first = np.zeros(buf_len, dtype=np.float32)
+        first[: min(frame_len, len(samples))] = samples[:frame_len]
+        res0 = self._rx.receive(first[None])
+        if not bool(np.asarray(res0.crc_ok)[0]):
+            return False
+        t0 = int(np.asarray(res0.delay)[0]) + 8   # undo the early-sampling bias
+        self._on_frame(bytes(np.asarray(res0.payload)[0]), now)
+        if n_frames == 1:
+            return True
+
+        margin = 64
+        rows = np.zeros((n_frames - 1, buf_len), dtype=np.float32)
+        for k in range(1, n_frames):
+            start = t0 + k * frame_len - margin
+            chunk = samples[max(start, 0): start + buf_len]
+            rows[k - 1, : len(chunk)] = chunk
+        import jax.numpy as jnp
+        delays = np.full(n_frames - 1, margin - 8, dtype=np.int32)
+        freqs = np.full(n_frames - 1, float(np.asarray(res0.freq_offset)[0]),
+                        dtype=np.float32)
+        payloads, crc_ok, _i, _s, _mh = self._rx.decode_at_jit(
+            jnp.asarray(rows), jnp.asarray(delays), jnp.asarray(freqs))
+        ok = np.asarray(crc_ok)
+        pl = np.asarray(payloads)
+        for k in range(n_frames - 1):
+            if ok[k]:
+                self._on_frame(bytes(pl[k]), now)
+        return True
+
+    # ------------------------------------------------------------------
+    # frame/state handling
+    def _on_frame(self, payload: bytes, now: float) -> None:
+        msg = P.deserialize(payload, self.max_data_length)
+        if msg is None:
+            return
+        if msg.type in (P.DATA_LONG, P.DATA_SHORT):
+            if self.link_status == P.CONNECTED:
+                self._rx_msgs[msg.id] = msg
+                self.stats.received_data += 1
+        elif msg.type == P.CONTROL:
+            self._on_control(msg, now)
+
+    def _on_control(self, msg: P.Message, now: float) -> None:
+        code = msg.data[0]
+        if code == P.START_CONNECTION and self.role == P.RESPONDER \
+                and self.link_status in (P.LISTENING, P.CONNECTION_RECEIVED):
+            if msg.data[1] == P.crc8(self.call_sign.encode()):
+                self.destination_call_sign = P.callsign_unpack(msg.data[2:7])
+                self.link_status = P.CONNECTED
+                self.on_event(f"CONNECTED {self.destination_call_sign}")
+                self._queue_pattern_ack(now)
+        elif code == P.BLOCK_END and self.role == P.RESPONDER \
+                and self.link_status == P.CONNECTED:
+            expected = msg.data[1]
+            if len(self._rx_msgs) == expected and expected > 0:
+                # deliver in id order, then ACK
+                for mid in sorted(self._rx_msgs):
+                    m = self._rx_msgs[mid]
+                    self.fifo_rx.extend(m.data[: m.length])
+                self._rx_msgs.clear()
+                self._queue_pattern_ack(now)
+            # else: withhold ACK; commander resends the missing frames
+        elif code == P.SET_CONFIG and self.role == P.RESPONDER:
+            fwd = msg.data[1]
+            self._queue_pattern_ack(now, new_config=fwd)
+        elif code == P.CLOSE_CONNECTION:
+            self._queue_pattern_ack(now)
+            self.link_status = P.DISCONNECTING
+            self.on_event("DISCONNECTED")
+
+    def _queue_pattern_ack(self, now: float, new_config: int | None = None) -> None:
+        self._pending_ack = True
+        self._pending_new_config = new_config
+
+    def _on_ack_pattern(self, now: float) -> None:
+        kind = self._await_ack_kind
+        self._await_ack_kind = None
+        if kind == "data":
+            for m in self._block_msgs:
+                m.status = P.ACKED
+                self.stats.acked_data += 1
+            self._block_msgs = []
+            self.stats.blocks_acked += 1
+            self.consecutive_data_acks += 1
+            self.emergency_nacks = 0
+            self._resends_left = self.cfg.n_resends
+        elif kind == "control":
+            code = (self._pending_control.data[0]
+                    if self._pending_control else None)
+            if code == P.START_CONNECTION:
+                self.link_status = P.CONNECTED
+                self.on_event(f"CONNECTED {self.destination_call_sign}")
+            elif code == P.SET_CONFIG and self._gear_pending is not None:
+                self._set_config(self._gear_pending)
+                self.stats.gearshift_ups += 1
+                self.on_event(f"GEARSHIFT {self.current_configuration}")
+                self._gear_pending = None
+                self.consecutive_data_acks = 0
+            elif code == P.CLOSE_CONNECTION:
+                self.link_status = P.IDLE
+                self.on_event("DISCONNECTED")
+            self._pending_control = None
+            self._resends_left = self.cfg.n_resends
+
+    def _ladder_floor(self) -> int:
+        return ROBUST_0 if self.cfg.robust_enabled else 0
+
+    def _on_break_detected(self, now: float) -> None:
+        # responder side of emergency BREAK: drop to the ladder floor for
+        # coordination (reference: arq_commander.cc:42-187 BREAK FSM)
+        floor = self._ladder_floor()
+        if self.current_configuration != floor:
+            self._set_config(floor)
+            self.on_event(f"BREAK->CONFIG {floor}")
+
+    # ------------------------------------------------------------------
+    # main poll: returns list of passband blocks to transmit
+    def poll(self, now: float) -> list[np.ndarray]:
+        self._last_now = now
+        out: list[np.ndarray] = []
+
+        # responder: flush pending pattern ACK
+        if getattr(self, "_pending_ack", False):
+            self._pending_ack = False
+            out.append(self._pat.ack_passband.astype(np.float32))
+            if self._pending_new_config is not None:
+                self._set_config(int(self._pending_new_config))
+                self.on_event(f"GEARSHIFT {self.current_configuration}")
+                self._pending_new_config = None
+            return out
+
+        if self.role != P.COMMANDER:
+            return out
+
+        # ack timeout handling
+        if self._await_ack_kind is not None:
+            if now < self._await_deadline:
+                return out
+            kind = self._await_ack_kind
+            self._await_ack_kind = None
+            self._resends_left -= 1
+            self.consecutive_data_acks = 0
+            if kind == "data":
+                self.emergency_nacks += 1
+                if (self.cfg.gear_shift_on
+                        and self.emergency_nacks >= self.cfg.emergency_nack_threshold):
+                    return [self._emergency_break(now)]
+            if self._resends_left <= 0:
+                self.link_status = P.DROPPED
+                self.on_event("LINK FAILED")
+                return out
+            # fall through to retransmit below
+
+        if self.link_status == P.CONNECTING and self._pending_control is None:
+            data = bytes([P.START_CONNECTION,
+                          P.crc8(self.destination_call_sign.encode())]) \
+                + P.callsign_pack(self.call_sign)
+            self._pending_control = P.Message(type=P.CONTROL, length=len(data),
+                                              data=data)
+
+        if self._pending_control is not None:
+            out.append(self._modulate_batch([self._pending_control]))
+            self._start_wait("control", now)
+            return out
+
+        if self.link_status != P.CONNECTED:
+            return out
+
+        # gearshift proposal
+        if (self.cfg.gear_shift_on and self._gear_pending is None
+                and self.consecutive_data_acks >= self.frame_shift_threshold):
+            nxt = self._ladder_up()
+            if nxt != self.current_configuration:
+                self._gear_pending = nxt
+                data = bytes([P.SET_CONFIG, nxt & 0xFF, self.current_configuration & 0xFF])
+                self._pending_control = P.Message(type=P.CONTROL,
+                                                  length=len(data), data=data)
+                out.append(self._modulate_batch([self._pending_control]))
+                self._start_wait("control", now)
+                return out
+            self.consecutive_data_acks = 0
+
+        # data block
+        if self._block_msgs or self.fifo_tx:
+            if not self._block_msgs:
+                self._assemble_block()
+            batch = list(self._block_msgs)
+            count = len(batch)
+            batch.append(P.Message(type=P.CONTROL, length=2,
+                                   data=bytes([P.BLOCK_END, count])))
+            out.append(self._modulate_batch(batch))
+            self.stats.sent_data += count
+            self.stats.blocks_sent += 1
+            self._start_wait("data", now)
+            return out
+
+        return out
+
+    def _assemble_block(self) -> None:
+        self._block_msgs = []
+        mid = 0
+        while self.fifo_tx and mid < self.cfg.batch_size:
+            chunk = bytes(self.fifo_tx[: self.max_data_length])
+            del self.fifo_tx[: len(chunk)]
+            mtype = P.DATA_LONG if len(chunk) == self.max_data_length else P.DATA_SHORT
+            self._block_msgs.append(
+                P.Message(type=mtype, id=mid, length=len(chunk), data=chunk))
+            mid += 1
+
+    def _ladder_up(self) -> int:
+        ladder = FULL_CONFIG_LADDER if self.cfg.robust_enabled else list(range(16))
+        if self.current_configuration in ladder:
+            i = ladder.index(self.current_configuration)
+            if i + 1 < len(ladder):
+                return ladder[i + 1]
+        return self.current_configuration
+
+    def _emergency_break(self, now: float) -> np.ndarray:
+        """Send the BREAK pattern and drop to the ladder floor for
+        coordination (reference: arq_commander.cc:42-187). Gearshift climbs
+        back up from there once blocks flow again."""
+        self.emergency_nacks = 0
+        self.stats.breaks_sent += 1
+        self.stats.gearshift_downs += 1
+        pattern = self._pat.break_passband.astype(np.float32)
+        self._set_config(self._ladder_floor())
+        self.on_event(f"BREAK -> {self.current_configuration}")
+        return pattern
+
+    def disconnect(self) -> list[np.ndarray]:
+        data = bytes([P.CLOSE_CONNECTION])
+        self._pending_control = P.Message(type=P.CONTROL, length=1, data=data)
+        self.link_status = P.DISCONNECTING
+        return []

@@ -331,6 +331,12 @@ class RxChain:
     def _receive_jit(self):
         return jax.jit(self.receive_fn)
 
+    @functools.cached_property
+    def decode_at_jit(self):
+        """Jitted decode-at-known-delay (used by the link layer to decode the
+        frames of a batch after syncing on the first one)."""
+        return jax.jit(self.decode_at)
+
     def receive(self, pb_buffer) -> RxResult:
         """Full RX: sync + CFO + decode. pb_buffer: [B, buffer_samples]."""
         return self._receive_jit(jnp.asarray(pb_buffer))

@@ -1,0 +1,73 @@
+"""ARQ link-layer integration tests: two nodes over the simulated channel
+(replaces the reference's virtual-audio-cable loopback tests, SURVEY §4.2)."""
+
+import numpy as np
+import pytest
+
+from mercury_tpu.link import protocol as P
+from mercury_tpu.link.node import ArqConfig, ArqNode
+from mercury_tpu.link.sim import ChannelModel, LinkSimulator
+
+
+def _session(init_cfg, snr_db, payload_len, gear=True, robust=False,
+             batch=3, max_sim_s=1800, seed=0):
+    cfg = ArqConfig(init_configuration=init_cfg, gear_shift_on=gear,
+                    robust_enabled=robust, batch_size=batch)
+    events = []
+    cmd = ArqNode("VE3XYZ", P.COMMANDER, cfg, on_event=lambda e: events.append("C " + e))
+    rsp = ArqNode("N0CALL", P.RESPONDER, cfg, on_event=lambda e: events.append("R " + e))
+    sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=snr_db, seed=seed))
+    payload = bytes(np.random.default_rng(seed).integers(0, 256, payload_len)
+                    .astype(np.uint8))
+    cmd.send_data(payload)
+    cmd.connect("N0CALL")
+    t = sim.run(max_sim_s=max_sim_s,
+                until=lambda: len(rsp.fifo_rx) >= payload_len)
+    return cmd, rsp, payload, rsp.received(), events, t
+
+
+def test_protocol_roundtrips():
+    assert P.callsign_unpack(P.callsign_pack("VE3XYZ")) == "VE3XYZ"
+    assert P.callsign_unpack(P.callsign_pack("N0C")) == "N0C"
+    m = P.Message(type=P.DATA_SHORT, id=7, sequence=2, length=3, data=b"abc")
+    frame = P.serialize(m, 0x42)
+    back = P.deserialize(frame, 10)
+    assert back.type == P.DATA_SHORT and back.id == 7 and back.data[:3] == b"abc"
+    assert P.crc8(b"N0CALL") == P.crc8(b"N0CALL")
+    assert P.crc8(b"N0CALL") != P.crc8(b"N0CALX")
+
+
+def test_connect_and_transfer():
+    cmd, rsp, sent, got, events, t = _session(0, 15, 120, gear=False)
+    assert got == sent
+    assert cmd.link_status == P.CONNECTED
+    assert any("CONNECTED VE3XYZ" in e for e in events)
+    assert cmd.stats.blocks_acked == cmd.stats.blocks_sent
+
+
+def test_gearshift_climbs_ladder():
+    cmd, rsp, sent, got, events, t = _session(0, 25, 2500, gear=True)
+    assert got == sent
+    assert cmd.stats.gearshift_ups >= 3
+    assert cmd.current_configuration > 2
+    assert rsp.current_configuration == cmd.current_configuration
+
+
+def test_break_recovery_on_bad_channel():
+    """Start far above the channel's capacity: the emergency BREAK must fire,
+    both sides coordinate at the ladder floor, and delivery completes."""
+    cmd, rsp, sent, got, events, t = _session(13, 7, 300, gear=True, seed=2)
+    assert got == sent
+    assert cmd.stats.breaks_sent >= 1
+    assert any("BREAK" in e for e in events)
+
+
+def test_wrong_callsign_no_connect():
+    cfg = ArqConfig(init_configuration=0, gear_shift_on=False)
+    cmd = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    rsp = ArqNode("W1AAA", P.RESPONDER, cfg)   # not the callsign we dial
+    sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=20))
+    cmd.connect("N0CALL")
+    sim.run(max_sim_s=120)
+    assert rsp.link_status == P.LISTENING
+    assert cmd.link_status != P.CONNECTED
