@@ -1,0 +1,157 @@
+"""mercury-tpu CLI — operating modes mirroring the reference's main.cc.
+
+    python -m mercury_tpu -m ARQ -s 0 -p 7002        # TCP service (VARA API)
+    python -m mercury_tpu -m BER -s 9 --esn0 12      # BER point
+    python -m mercury_tpu -m SWEEP -s 0              # BER sweep for a mode
+    python -m mercury_tpu -m TX_TEST -s 0 -o out.f32 # frame -> raw samples
+    python -m mercury_tpu -m RX_TEST -s 0 -i in.f32  # raw samples -> decode
+    python -m mercury_tpu -m SIM                      # two-node ARQ session
+    python -m mercury_tpu -m LIST                     # mode table
+
+Reference CLI (main.cc:188-346): -m mode, -s config, -p tcp port, -g
+gearshift, -R robust. Audio-device flags are replaced by sample-file/UDP
+transports; BER/SWEEP replace PLOT_BASEBAND/PLOT_PASSBAND.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mercury_tpu", description=__doc__)
+    ap.add_argument("-m", "--mode", default="LIST",
+                    choices=["ARQ", "BER", "SWEEP", "TX_TEST", "RX_TEST",
+                             "SIM", "LIST", "BENCH"])
+    ap.add_argument("-s", "--config", type=int, default=0)
+    ap.add_argument("-p", "--port", type=int, default=7002)
+    ap.add_argument("-g", "--gearshift", type=int, default=1)
+    ap.add_argument("-R", "--robust", type=int, default=1)
+    ap.add_argument("-i", "--input", default=None)
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--esn0", type=float, default=10.0)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--snr", type=float, default=20.0)
+    ap.add_argument("--bytes", type=int, default=500)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.mode == "LIST":
+        from mercury_tpu.core.modes import MODES
+        from mercury_tpu.core.geometry import build_geometry
+        print(f"{'cfg':>4} {'modulation':>10} {'rate':>6} {'payload':>8} "
+              f"{'frame':>8} {'net bps':>8}")
+        for cfg, spec in sorted(MODES.items()):
+            g = build_geometry(cfg, with_pre_eq=False)
+            tf = g.nofdm * (g.nsymb + g.preamble_nsymb) / (g.fs / g.interp)
+            bps = g.frame_bytes * 8 / tf
+            mod = {2: "BPSK", 4: "QPSK", 8: "8PSK", 16: "16QAM", 32: "32QAM",
+                   200: f"{spec.mfsk_m}-MFSK x{spec.mfsk_nstreams}"}[spec.modulation]
+            print(f"{cfg:>4} {mod:>10} {spec.ldpc_rate_num:>3}/16 "
+                  f"{g.frame_bytes:>6} B {tf:>7.2f}s {bps:>8.1f}")
+        return 0
+
+    if args.mode == "BER":
+        from mercury_tpu.channel.ber import BerHarness
+        h = BerHarness(args.config)
+        p = h.run_point(args.esn0, args.frames)
+        print(f"cfg{args.config} Es/N0={args.esn0:+.1f} dB: "
+              f"FER={p.fer:.4f} BER={p.ber:.6f} ({p.frames} frames)")
+        return 0
+
+    if args.mode == "SWEEP":
+        from mercury_tpu.channel.ber import BerHarness
+        h = BerHarness(args.config)
+        lo = int(args.esn0) - 4
+        sweep = h.sweep(range(lo + 8, lo - 1, -1), n_frames=args.frames,
+                        verbose=True)
+        print(f"waterfall(FER<0.1): {sweep.waterfall(0.1)} dB")
+        return 0
+
+    if args.mode == "TX_TEST":
+        from mercury_tpu.core.geometry import build_geometry
+        from mercury_tpu.modem.tx import TxChain
+        g = build_geometry(args.config)
+        tx = TxChain(g)
+        data = (sys.stdin.buffer.read(g.frame_bytes) if args.input in (None, "-")
+                else open(args.input, "rb").read(g.frame_bytes))
+        pb = np.asarray(tx.transmit(np.frombuffer(data.ljust(g.frame_bytes, b"\0"),
+                                                  np.uint8)[None]))[0]
+        out = args.output or "tx_frame.f32"
+        pb.astype(np.float32).tofile(out)
+        print(f"wrote {len(pb)} samples ({len(pb)/48000:.2f}s) to {out}")
+        return 0
+
+    if args.mode == "RX_TEST":
+        from mercury_tpu.core.geometry import build_geometry
+        from mercury_tpu.modem.rx import RxChain
+        g = build_geometry(args.config)
+        rx = RxChain(g)
+        samples = np.fromfile(args.input, dtype=np.float32)
+        buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        buf = np.zeros(buf_len, np.float32)
+        n = min(len(samples), buf_len)
+        buf[:n] = samples[:n]
+        res = rx.receive(buf[None])
+        ok = bool(np.asarray(res.crc_ok)[0])
+        print(f"decoded={ok} delay={int(np.asarray(res.delay)[0])} "
+              f"snr={float(np.asarray(res.snr_db)[0]):.1f} dB")
+        if ok:
+            sys.stdout.buffer.write(bytes(np.asarray(res.payload)[0]))
+            sys.stdout.buffer.flush()
+        return 0 if ok else 1
+
+    if args.mode == "SIM":
+        from mercury_tpu.link import protocol as P
+        from mercury_tpu.link.node import ArqConfig, ArqNode
+        from mercury_tpu.link.sim import ChannelModel, LinkSimulator
+        cfg = ArqConfig(init_configuration=args.config,
+                        gear_shift_on=bool(args.gearshift),
+                        robust_enabled=bool(args.robust))
+        cmd = ArqNode("VE3TPU", P.COMMANDER, cfg,
+                      on_event=lambda e: print(f"  CMD: {e}"))
+        rsp = ArqNode("N0CALL", P.RESPONDER, cfg,
+                      on_event=lambda e: print(f"  RSP: {e}"))
+        sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=args.snr))
+        payload = bytes(np.random.default_rng(0).integers(0, 256, args.bytes)
+                        .astype(np.uint8))
+        cmd.send_data(payload)
+        cmd.connect("N0CALL")
+        t = sim.run(max_sim_s=3600,
+                    until=lambda: len(rsp.fifo_rx) >= len(payload))
+        got = rsp.received()
+        print(f"sim {t:.1f}s: {len(got)}/{len(payload)} bytes "
+              f"({'OK' if got == payload else 'MISMATCH'}), "
+              f"final config {cmd.current_configuration}, "
+              f"{len(got) * 8 / max(t, 1e-9):.0f} bps effective")
+        return 0 if got == payload else 1
+
+    if args.mode == "ARQ":
+        import time
+        from mercury_tpu.link.tcp_api import ArqTcpServer
+        srv = ArqTcpServer(base_port=args.port)
+        srv.start()
+        print(f"ARQ service on control port {args.port}, data port {args.port + 1}")
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
+    if args.mode == "BENCH":
+        import bench
+        return bench.main()
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

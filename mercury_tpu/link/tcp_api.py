@@ -1,0 +1,185 @@
+"""VARA-compatible TCP service: control + data ports around an ArqNode.
+
+Mirrors the reference's TCP text API (process_user_command,
+arq_common.cc:1742-1922; documented INTERNALS:33-84): control port (default
+7002) accepts `MYCALL`, `LISTEN ON/OFF`, `CONNECT <from> <to>`, `DISCONNECT`,
+`ABORT`, `BW2300/BW2500`, `BUFFER TX` and emits `OK`, `PENDING`,
+`CONNECTED <a> <b> <bw>`, `DISCONNECTED`, `PTT ON/OFF`, `BUFFER n` events;
+the data port (control+1, default 7003) streams payload bytes both ways.
+
+The server owns the ArqNode and drives it from a background thread; sample
+I/O goes through a pluggable transport (the link.sim harness in tests, a
+sound-card/socket transport in deployment).
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+from mercury_tpu.link import protocol as P
+from mercury_tpu.link.node import ArqConfig, ArqNode
+
+
+class ArqTcpServer:
+    def __init__(self, host: str = "127.0.0.1", base_port: int = 7002,
+                 config: ArqConfig | None = None, transport=None):
+        self.host, self.base_port = host, base_port
+        self.cfg = config or ArqConfig()
+        self.transport = transport
+        self.node = ArqNode("NOCALL", P.RESPONDER, self.cfg,
+                            on_event=self._on_node_event)
+        self._ctl_conn = None
+        self._data_conn = None
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        for port, handler in ((self.base_port, self._serve_control),
+                              (self.base_port + 1, self._serve_data)):
+            t = threading.Thread(target=self._listen, args=(port, handler),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(target=self._drive, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # ------------------------------------------------------------------
+    def _listen(self, port: int, handler) -> None:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((self.host, port))
+        srv.listen(2)
+        srv.settimeout(0.5)
+        while not self._stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            handler(conn)
+        srv.close()
+
+    def _serve_control(self, conn: socket.socket) -> None:
+        self._ctl_conn = conn
+        buf = b""
+        conn.settimeout(0.5)
+        while not self._stop.is_set():
+            try:
+                chunk = conn.recv(4096)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while b"\r" in buf:
+                line, buf = buf.split(b"\r", 1)
+                self._handle_command(line.decode(errors="replace").strip())
+        if self._ctl_conn is conn:
+            self._ctl_conn = None
+
+    def _serve_data(self, conn: socket.socket) -> None:
+        self._data_conn = conn
+        conn.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                chunk = conn.recv(8192)
+            except socket.timeout:
+                chunk = None
+            except OSError:
+                break
+            if chunk == b"":
+                break
+            if chunk:
+                with self._lock:
+                    self.node.send_data(chunk)
+            # push received payload out
+            out = self.node.received()
+            if out:
+                try:
+                    conn.sendall(out)
+                except OSError:
+                    break
+        if self._data_conn is conn:
+            self._data_conn = None
+
+    # ------------------------------------------------------------------
+    def _reply(self, text: str) -> None:
+        if self._ctl_conn is not None:
+            try:
+                self._ctl_conn.sendall((text + "\r").encode())
+            except OSError:
+                pass
+
+    def _on_node_event(self, event: str) -> None:
+        if event.startswith("CONNECTED"):
+            other = event.split(" ", 1)[1] if " " in event else ""
+            self._reply(f"CONNECTED {self.node.call_sign} {other} "
+                        f"{int(self.node.geom.bandwidth)}")
+        elif event.startswith("DISCONNECTED"):
+            self._reply("DISCONNECTED")
+        elif event.startswith("PTT"):
+            self._reply(event)
+
+    def _handle_command(self, command: str) -> None:
+        """Reference-compatible command set (arq_common.cc:1742-1922)."""
+        node = self.node
+        if command.startswith("MYCALL "):
+            node.call_sign = command[7:].strip().upper()
+            self._reply("OK")
+        elif command.startswith("CONNECT "):
+            parts = command[8:].split()
+            if len(parts) >= 2:
+                node.call_sign = parts[0].upper()
+                node.role = P.COMMANDER
+                node.connect(parts[1])
+                self._reply("OK")
+                self._reply("PENDING")
+            else:
+                self._reply("WRONG")
+        elif command == "DISCONNECT":
+            node.disconnect()
+            self._reply("OK")
+        elif command == "ABORT":
+            node.link_status = P.LISTENING
+            node.role = P.RESPONDER
+            node.fifo_tx.clear()
+            self._reply("CANCELPENDING")
+            self._reply("DISCONNECTED")
+            self._reply("OK")
+        elif command == "LISTEN ON":
+            node.role = P.RESPONDER
+            node.link_status = P.LISTENING
+            self._reply("OK")
+        elif command == "LISTEN OFF":
+            node.role = P.RESPONDER
+            node.link_status = P.IDLE
+            self._reply("OK")
+        elif command in ("BW2300", "BW2500"):
+            self._reply("OK")   # fixed 2343.75 Hz numerology (reference parity)
+        elif command == "BUFFER TX":
+            self._reply(f"BUFFER {len(node.fifo_tx)}")
+        else:
+            self._reply("OK")
+
+    # ------------------------------------------------------------------
+    def _drive(self) -> None:
+        """Pump the node against the transport (when one is attached)."""
+        while not self._stop.is_set():
+            now = time.monotonic() * 1000.0
+            if self.transport is not None:
+                with self._lock:
+                    for block in self.node.poll(now):
+                        self.transport.transmit(block)
+                    rx = self.transport.capture()
+                    if rx is not None:
+                        self.node.on_samples(rx, now)
+            time.sleep(0.05)
