@@ -112,10 +112,15 @@ def matched_filter_refine(bb: jnp.ndarray, coarse_delay: jnp.ndarray,
     t_norm = jnp.sqrt(jnp.sum(jnp.abs(templates) ** 2, axis=-1))  # [Lp]
 
     score = jnp.zeros((bb.shape[0], n_cand), dtype=bb.real.dtype)
+    # mean energy scale for the silence guard: float32 prefix-sum cancellation
+    # can drive window energies to ~0 (or negative) in exact silence, which
+    # would explode the normalized score — zero those windows instead
+    e_floor = 1e-4 * jnp.mean(e, axis=-1, keepdims=True) * s + 1e-20
     for l in range(lp):
         c_l = jnp.abs(corr[:, l, l * s: l * s + n_cand])
         e_l = ce[..., l * s + s: l * s + s + n_cand] - ce[..., l * s: l * s + n_cand]
-        score = score + c_l / (jnp.sqrt(jnp.maximum(e_l, 1e-30)) * t_norm[l])
+        term = c_l / (jnp.sqrt(jnp.maximum(e_l, e_floor)) * t_norm[l])
+        score = score + jnp.where(e_l > e_floor, term, 0.0)
     best = jnp.argmax(score, axis=-1)
     delay = start + best
     return delay.astype(jnp.int32), jnp.take_along_axis(score, best[:, None], axis=-1)[:, 0] / lp

@@ -1,0 +1,233 @@
+// mercury-tpu native runtime: the host-side streaming engine.
+//
+// TPU-native equivalents of the reference's C runtime pieces:
+//  - rt_ring:   thread-safe sample ring buffer (reference: audioio.c
+//               playback/capture rings via common/ring_buffer_posix.cc)
+//  - rt_window: sliding capture window that advances one OFDM-symbol period
+//               at a time with frames_to_read/data_ready gating (reference:
+//               radio_capture_prep_thread, audioio.c:999-1069)
+//  - rt_shm:    POSIX shared-memory byte ring for external-app payload IPC
+//               (reference: "/mercury-comm", common_defines.h:207-209)
+//
+// Exposed as a plain C ABI consumed from Python via ctypes; the TPU compute
+// path stays in JAX/XLA — this module is the realtime I/O runtime around it.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <new>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// rt_ring: MPMC float ring with blocking reads
+struct rt_ring {
+  std::vector<float> buf;
+  size_t head = 0, tail = 0, count = 0;
+  std::mutex m;
+  std::condition_variable cv;
+};
+
+rt_ring *rt_ring_create(size_t capacity) {
+  auto *r = new (std::nothrow) rt_ring;
+  if (!r) return nullptr;
+  r->buf.resize(capacity);
+  return r;
+}
+
+void rt_ring_destroy(rt_ring *r) { delete r; }
+
+size_t rt_ring_write(rt_ring *r, const float *data, size_t n) {
+  std::lock_guard<std::mutex> lk(r->m);
+  size_t cap = r->buf.size();
+  size_t free_n = cap - r->count;
+  size_t w = n < free_n ? n : free_n;
+  for (size_t i = 0; i < w; i++) {
+    r->buf[r->head] = data[i];
+    r->head = (r->head + 1) % cap;
+  }
+  r->count += w;
+  r->cv.notify_all();
+  return w;
+}
+
+size_t rt_ring_read(rt_ring *r, float *out, size_t n, int timeout_ms) {
+  std::unique_lock<std::mutex> lk(r->m);
+  if (timeout_ms > 0 && r->count < n) {
+    r->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                   [&] { return r->count >= n; });
+  }
+  size_t cap = r->buf.size();
+  size_t avail = r->count < n ? r->count : n;
+  for (size_t i = 0; i < avail; i++) {
+    out[i] = r->buf[r->tail];
+    r->tail = (r->tail + 1) % cap;
+  }
+  r->count -= avail;
+  return avail;
+}
+
+size_t rt_ring_size(rt_ring *r) {
+  std::lock_guard<std::mutex> lk(r->m);
+  return r->count;
+}
+
+void rt_ring_clear(rt_ring *r) {
+  std::lock_guard<std::mutex> lk(r->m);
+  r->head = r->tail = r->count = 0;
+}
+
+// ---------------------------------------------------------------------------
+// rt_window: sliding capture window with symbol-period advancement
+struct rt_window {
+  std::vector<float> window;   // delayed capture window (buffer_Nsymb symbols)
+  std::vector<float> pending;  // samples not yet shifted in
+  size_t symbol_len;
+  std::atomic<int> frames_to_read{0};
+  std::atomic<int> data_ready{0};
+  std::atomic<int> n_under{0};  // shifts while the consumer was busy
+  std::mutex m;
+};
+
+rt_window *rt_window_create(size_t window_len, size_t symbol_len) {
+  auto *w = new (std::nothrow) rt_window;
+  if (!w) return nullptr;
+  w->window.assign(window_len, 0.0f);
+  w->symbol_len = symbol_len;
+  return w;
+}
+
+void rt_window_destroy(rt_window *w) { delete w; }
+
+// Append capture samples; the window shifts left one symbol period at a time
+// (exactly the reference capture-prep protocol: frames_to_read counts down,
+// data_ready latches when it hits zero, extra shifts count n_under).
+void rt_window_push(rt_window *w, const float *samples, size_t n) {
+  std::lock_guard<std::mutex> lk(w->m);
+  w->pending.insert(w->pending.end(), samples, samples + n);
+  size_t sym = w->symbol_len;
+  size_t wlen = w->window.size();
+  while (w->pending.size() >= sym) {
+    std::memmove(w->window.data(), w->window.data() + sym,
+                 (wlen - sym) * sizeof(float));
+    std::memcpy(w->window.data() + wlen - sym, w->pending.data(),
+                sym * sizeof(float));
+    w->pending.erase(w->pending.begin(), w->pending.begin() + sym);
+    int ftr = w->frames_to_read.load();
+    if (ftr > 0) {
+      w->frames_to_read.store(ftr - 1);
+      if (ftr - 1 == 0) w->data_ready.store(1);
+    } else if (w->data_ready.load() == 1) {
+      w->n_under.fetch_add(1);
+    }
+  }
+}
+
+int rt_window_snapshot(rt_window *w, float *out) {
+  std::lock_guard<std::mutex> lk(w->m);
+  std::memcpy(out, w->window.data(), w->window.size() * sizeof(float));
+  int ready = w->data_ready.load();
+  return ready;
+}
+
+void rt_window_arm(rt_window *w, int frames_to_read) {
+  std::lock_guard<std::mutex> lk(w->m);
+  w->frames_to_read.store(frames_to_read);
+  w->data_ready.store(0);
+  w->n_under.store(0);
+}
+
+int rt_window_nunder(rt_window *w) { return w->n_under.load(); }
+int rt_window_ready(rt_window *w) { return w->data_ready.load(); }
+
+void rt_window_clear(rt_window *w) {
+  std::lock_guard<std::mutex> lk(w->m);
+  std::fill(w->window.begin(), w->window.end(), 0.0f);
+  w->pending.clear();
+}
+
+// ---------------------------------------------------------------------------
+// rt_shm: shared-memory byte ring (header: write_idx, read_idx, capacity)
+struct shm_hdr {
+  std::atomic<uint64_t> widx;
+  std::atomic<uint64_t> ridx;
+  uint64_t capacity;
+};
+
+struct rt_shm {
+  shm_hdr *hdr = nullptr;
+  uint8_t *data = nullptr;
+  size_t map_len = 0;
+  int fd = -1;
+  bool owner = false;
+  char name[128];
+};
+
+rt_shm *rt_shm_open(const char *name, size_t size, int create) {
+  auto *s = new (std::nothrow) rt_shm;
+  if (!s) return nullptr;
+  std::snprintf(s->name, sizeof(s->name), "%s", name);
+  s->owner = create != 0;
+  int flags = create ? (O_CREAT | O_RDWR) : O_RDWR;
+  s->fd = shm_open(name, flags, 0660);
+  if (s->fd < 0) { delete s; return nullptr; }
+  s->map_len = sizeof(shm_hdr) + size;
+  if (create && ftruncate(s->fd, (off_t)s->map_len) != 0) {
+    close(s->fd); delete s; return nullptr;
+  }
+  void *p = mmap(nullptr, s->map_len, PROT_READ | PROT_WRITE, MAP_SHARED,
+                 s->fd, 0);
+  if (p == MAP_FAILED) { close(s->fd); delete s; return nullptr; }
+  s->hdr = reinterpret_cast<shm_hdr *>(p);
+  s->data = reinterpret_cast<uint8_t *>(p) + sizeof(shm_hdr);
+  if (create) {
+    s->hdr->widx.store(0);
+    s->hdr->ridx.store(0);
+    s->hdr->capacity = size;
+  }
+  return s;
+}
+
+void rt_shm_close(rt_shm *s) {
+  if (!s) return;
+  if (s->hdr) munmap(s->hdr, s->map_len);
+  if (s->fd >= 0) close(s->fd);
+  if (s->owner) shm_unlink(s->name);
+  delete s;
+}
+
+long rt_shm_write(rt_shm *s, const uint8_t *data, size_t n) {
+  uint64_t cap = s->hdr->capacity;
+  uint64_t w = s->hdr->widx.load(std::memory_order_acquire);
+  uint64_t r = s->hdr->ridx.load(std::memory_order_acquire);
+  uint64_t free_n = cap - (w - r);
+  if (n > free_n) n = free_n;
+  for (size_t i = 0; i < n; i++) s->data[(w + i) % cap] = data[i];
+  s->hdr->widx.store(w + n, std::memory_order_release);
+  return (long)n;
+}
+
+long rt_shm_read(rt_shm *s, uint8_t *out, size_t n) {
+  uint64_t cap = s->hdr->capacity;
+  uint64_t w = s->hdr->widx.load(std::memory_order_acquire);
+  uint64_t r = s->hdr->ridx.load(std::memory_order_acquire);
+  uint64_t avail = w - r;
+  if (n > avail) n = avail;
+  for (size_t i = 0; i < n; i++) out[i] = s->data[(r + i) % cap];
+  s->hdr->ridx.store(r + n, std::memory_order_release);
+  return (long)n;
+}
+
+long rt_shm_size(rt_shm *s) {
+  return (long)(s->hdr->widx.load() - s->hdr->ridx.load());
+}
+
+}  // extern "C"
