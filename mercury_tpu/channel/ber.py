@@ -93,6 +93,67 @@ class BerHarness:
         return BerPoint(esn0_db, frames, frame_errors, bit_errors,
                         frames * payload_bits_per_frame)
 
+    def run_point_baseband(self, esn0_db: float,
+                           n_frames: int | None = None) -> BerPoint:
+        """Baseband Monte-Carlo (reference: baseband_test_EsN0,
+        telecom_system.cc:96-229): no preamble/sync/mixers/CRC/dispersal —
+        complex AWGN applied at the OFDM symbol level with the 1/sqrt(Nfft)
+        power normalization; isolates FEC + estimation + demapping."""
+        import jax.numpy as jnp
+
+        from mercury_tpu.dsp import ops
+        from mercury_tpu.fec import ldpc
+        from mercury_tpu.modem import psk
+
+        g = self.geom
+        if g.spec.is_mfsk:
+            raise ValueError("baseband harness is OFDM-only (reference parity)")
+        tx, rx = self.tx, self.rx
+        code = tx.code
+        n_frames = n_frames or self.batch
+        rng = np.random.default_rng(self.seed + 17)
+        sigma = 10 ** (-esn0_db / 20.0)
+        norm = np.sqrt(g.nfft)
+        frame_errors = bit_errors = frames = 0
+        n_real = g.n_bits - g.ldpc_p
+        key = jax.random.key(int(esn0_db * 977) & 0x7FFFFFFF)
+
+        while frames < n_frames:
+            b = min(self.batch, n_frames - frames)
+            bits = rng.integers(0, 2, (b, n_real))
+            u = np.concatenate([bits, bits[:, : g.n_virtual]], axis=-1)
+            cw = ldpc.encode(code, jnp.asarray(u))
+            tx_bits = jnp.concatenate(
+                [jnp.asarray(bits), cw[:, code.k:]], axis=-1)
+            inter = jnp.take(tx_bits, jnp.asarray(g.bit_perm), axis=-1)
+            syms = psk.mod(inter, tx._const)
+            syms = jnp.take(syms, jnp.asarray(g.tf_perm), axis=-1)
+            flat = jnp.zeros((b, g.nsymb * g.nc), dtype=tx.cdtype)
+            flat = flat.at[:, jnp.asarray(g.data_cells)].set(syms)
+            flat = flat.at[:, jnp.asarray(g.pilot_cells)].set(
+                jnp.asarray(g.pilot_seq.astype(np.complex64))[None])
+            grid = flat.reshape(b, g.nsymb, g.nc)
+            td = ops.ofdm_mod(grid, jnp.asarray(g.pad_map), g.nfft, g.ngi) / norm
+            key, sub = jax.random.split(key)
+            noise = (sigma / np.sqrt(2)) * (
+                jax.random.normal(sub, td.shape) +
+                1j * jax.random.normal(jax.random.fold_in(sub, 1), td.shape))
+            rx_td = (td + noise) * norm
+            rx_grid = ops.ofdm_demod(rx_td, jnp.asarray(g.pad_map), g.nfft, g.ngi)
+            llr, _snr, _mh, _d = rx.decode_ofdm(rx_grid)
+            llr_n = jnp.concatenate([
+                llr[..., : n_real], llr[..., : g.n_virtual],
+                llr[..., n_real: n_real + g.ldpc_p]], axis=-1)
+            dec, _it, _ok = ldpc.decode(llr_n.astype(jnp.float32),
+                                        g.spec.ldpc_rate_num)
+            got = np.asarray(dec)[:, :n_real]
+            errs = (got != bits).sum(axis=-1)
+            frame_errors += int((errs > 0).sum())
+            bit_errors += int(errs.sum())
+            frames += b
+        return BerPoint(esn0_db, frames, frame_errors, bit_errors,
+                        frames * n_real)
+
     def sweep(self, esn0_list, n_frames: int | None = None,
               early_exit_fer: float = 0.0, verbose: bool = False) -> BerSweep:
         """Sweep descending-difficulty points; optional early exit once FER

@@ -35,6 +35,58 @@ def encode(code: LdpcCode, info_bits: jnp.ndarray) -> jnp.ndarray:
                             parity.astype(jnp.int32)], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("rate_num", "max_iter", "eta"))
+def decode_gbf(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
+               eta: float = 0.5):
+    """Batched gradient bit-flipping decode (reference:
+    ldpc_decoder_GBF.cc:25-120): per iteration, each variable accumulates
+    delta = sum(2*syndrome-1) over its checks; variables with positive delta
+    get their LLR pushed toward a flip by eta*delta. Much cheaper than SPA,
+    used as the low-complexity alternative.
+    """
+    code = load_code(rate_num)
+    n, p = code.n, code.p
+    c_idx = jnp.asarray(np.where(code.c_idx < 0, 0, code.c_idx))
+    c_mask = jnp.asarray(code.c_idx >= 0)
+    llr = llr.astype(jnp.float32)
+    b = llr.shape[0]
+
+    def syndrome(bits):
+        g = jnp.take(bits, c_idx, axis=1) * c_mask[None]
+        return jnp.sum(g, axis=-1) % 2
+
+    def body(state):
+        llr_t, done, iters, it = state
+        bits = (llr_t < 0).astype(jnp.int32)
+        synd = syndrome(bits)                                  # [B, P]
+        conv = jnp.all(synd == 0, axis=-1)
+        # delta[v] += (2*synd[i]-1) for each check i adjacent to v
+        contrib = (2 * synd - 1).astype(jnp.float32)           # [B, P]
+        delta = jnp.zeros((b, n + 1), dtype=jnp.float32)
+        scatter_idx = jnp.where(c_mask, c_idx, n)
+        delta = delta.at[:, scatter_idx.reshape(-1)].add(
+            jnp.repeat(contrib, c_idx.shape[1], axis=-1).reshape(b, -1))
+        delta = delta[:, :n]
+        step = (delta > 0) * (2 * (llr_t < 0) - 1) * delta * eta
+        llr_new = llr_t + step
+        llr_t = jnp.where((done | conv)[:, None], llr_t, llr_new)
+        iters = jnp.where(conv & ~done, it, iters)
+        done = done | conv
+        return llr_t, done, iters, it + 1
+
+    def cond(state):
+        _l, done, _i, it = state
+        return (it <= max_iter) & ~jnp.all(done)
+
+    bits0 = (llr < 0).astype(jnp.int32)
+    clean0 = jnp.all(syndrome(bits0) == 0, axis=-1)
+    iters0 = jnp.where(clean0, 0, max_iter + 1)
+    state = (llr, clean0, iters0, jnp.int32(1))
+    llr_t, done, iters, _ = jax.lax.while_loop(cond, body, state)
+    bits = (llr_t < 0).astype(jnp.int32)
+    return bits, iters.astype(jnp.int32), done
+
+
 @functools.partial(jax.jit, static_argnames=("rate_num", "max_iter"))
 def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
     """Batched SPA decode.
