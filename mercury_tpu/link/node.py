@@ -278,6 +278,12 @@ class ArqNode:
         elif code == P.SET_CONFIG and self.role == P.RESPONDER:
             fwd = msg.data[1]
             self._queue_pattern_ack(now, new_config=fwd)
+        elif code == P.SWITCH_ROLE and self.role == P.RESPONDER \
+                and self.link_status == P.CONNECTED:
+            # become the commander after acking (reference:
+            # arq_responder.cc:764-770, arq_commander.cc turboshift/finish)
+            self._queue_pattern_ack(now)
+            self._pending_role = P.COMMANDER
         elif code == P.CLOSE_CONNECTION:
             self._queue_pattern_ack(now)
             self.link_status = P.DISCONNECTING
@@ -311,6 +317,9 @@ class ArqNode:
                 self.on_event(f"GEARSHIFT {self.current_configuration}")
                 self._gear_pending = None
                 self.consecutive_data_acks = 0
+            elif code == P.SWITCH_ROLE:
+                self.role = P.RESPONDER
+                self.on_event("ROLE RESPONDER")
             elif code == P.CLOSE_CONNECTION:
                 self.link_status = P.IDLE
                 self.on_event("DISCONNECTED")
@@ -342,6 +351,10 @@ class ArqNode:
                 self._set_config(int(self._pending_new_config))
                 self.on_event(f"GEARSHIFT {self.current_configuration}")
                 self._pending_new_config = None
+            if getattr(self, "_pending_role", None) is not None:
+                self.role = self._pending_role
+                self._pending_role = None
+                self.on_event(f"ROLE {'COMMANDER' if self.role == P.COMMANDER else 'RESPONDER'}")
             return out
 
         if self.role != P.COMMANDER:
@@ -441,6 +454,13 @@ class ArqNode:
         self._set_config(self._ladder_floor())
         self.on_event(f"BREAK -> {self.current_configuration}")
         return pattern
+
+    def switch_role(self) -> None:
+        """Hand the commander role to the peer (reference SWITCH_ROLE,
+        datalink_defines.h:80) so it can transmit its queued data."""
+        assert self.role == P.COMMANDER and self.link_status == P.CONNECTED
+        self._pending_control = P.Message(type=P.CONTROL, length=1,
+                                          data=bytes([P.SWITCH_ROLE]))
 
     def disconnect(self) -> list[np.ndarray]:
         data = bytes([P.CLOSE_CONNECTION])

@@ -62,6 +62,24 @@ def test_break_recovery_on_bad_channel():
     assert any("BREAK" in e for e in events)
 
 
+def test_switch_role_bidirectional():
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=3)
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=20))
+    fwd = bytes(np.random.default_rng(1).integers(0, 256, 150).astype(np.uint8))
+    rev = bytes(np.random.default_rng(2).integers(0, 256, 120).astype(np.uint8))
+    a.send_data(fwd)
+    b.send_data(rev)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=600, until=lambda: len(b.fifo_rx) >= len(fwd))
+    assert b.received() == fwd
+    a.switch_role()
+    sim.run(max_sim_s=600, until=lambda: len(a.fifo_rx) >= len(rev))
+    assert a.received() == rev
+    assert a.role == P.RESPONDER and b.role == P.COMMANDER
+
+
 def test_wrong_callsign_no_connect():
     cfg = ArqConfig(init_configuration=0, gear_shift_on=False)
     cmd = ArqNode("VE3XYZ", P.COMMANDER, cfg)
