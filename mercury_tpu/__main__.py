@@ -25,7 +25,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mercury_tpu", description=__doc__)
     ap.add_argument("-m", "--mode", default="LIST",
                     choices=["ARQ", "BER", "SWEEP", "TX_TEST", "RX_TEST",
-                             "SIM", "LIST", "BENCH"])
+                             "SIM", "LIST", "BENCH", "TX_SHM", "RX_SHM"])
+    ap.add_argument("--shm", default="/mercury-tpu-comm",
+                    help="shared-memory ring name for TX_SHM/RX_SHM")
     ap.add_argument("-s", "--config", type=int, default=0)
     ap.add_argument("-p", "--port", type=int, default=7002)
     ap.add_argument("-g", "--gearshift", type=int, default=1)
@@ -144,6 +146,65 @@ def main(argv=None) -> int:
                 time.sleep(1)
         except KeyboardInterrupt:
             srv.stop()
+        return 0
+
+    if args.mode in ("TX_SHM", "RX_SHM"):
+        # Simplex shm payload modes (reference: main.cc:821-862 TX_SHM/RX_SHM
+        # through the "/mercury-comm" ring; see examples/ for clients).
+        import time as _time
+
+        from mercury_tpu.core.geometry import build_geometry
+        from mercury_tpu.native import ShmPayloadRing
+
+        g = build_geometry(args.config)
+        ring = ShmPayloadRing(args.shm, 131072, create=True)
+        out_path = args.output or ("tx_shm_stream.f32" if args.mode == "TX_SHM"
+                                   else None)
+        print(f"{args.mode} on shm '{args.shm}', config {args.config}, "
+              f"frame={g.frame_bytes}B")
+        try:
+            if args.mode == "TX_SHM":
+                from mercury_tpu.modem.tx import TxChain
+                tx = TxChain(g)
+                with open(out_path, "ab") as f:
+                    while True:
+                        chunk = ring.read(g.frame_bytes)
+                        if not chunk:
+                            _time.sleep(0.05)
+                            continue
+                        pb = np.asarray(tx.transmit(
+                            np.frombuffer(chunk.ljust(g.frame_bytes, b"\0"),
+                                          np.uint8)[None]))[0]
+                        pb.astype(np.float32).tofile(f)
+                        f.flush()
+                        print(f"TX {len(chunk)}B -> {len(pb)} samples")
+            else:
+                from mercury_tpu.modem.rx import RxChain
+                rx = RxChain(g)
+                buf_len = g.nofdm * g.buffer_nsymb * g.interp
+                stream = np.fromfile(args.input, dtype=np.float32)
+                pos = 0
+                while pos < len(stream):
+                    win = np.zeros(buf_len, np.float32)
+                    n = min(buf_len, len(stream) - pos)
+                    win[:n] = stream[pos: pos + n]
+                    res = rx.receive(win[None])
+                    if bool(np.asarray(res.crc_ok)[0]):
+                        payload = bytes(np.asarray(res.payload)[0])
+                        ring.write(payload)
+                        print(f"RX frame @ {pos + int(np.asarray(res.delay)[0])}"
+                              f" -> {len(payload)}B to shm")
+                        pos += int(np.asarray(res.delay)[0]) + g.total_frame_size
+                    else:
+                        pos += buf_len // 2
+                print("stream exhausted; waiting for ring drain")
+                t0 = _time.monotonic()
+                while len(ring) > 0 and _time.monotonic() - t0 < 30:
+                    _time.sleep(0.1)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            ring.close()
         return 0
 
     if args.mode == "BENCH":
