@@ -45,6 +45,7 @@ class ArqConfig:
     ptt_off_delay_ms: int = 200
     frame_shift_threshold: int = 3
     emergency_nack_threshold: int = 2
+    turboshift: bool = False      # probe the ladder upward right after connect
 
 
 @dataclass
@@ -105,6 +106,15 @@ class ArqNode:
         self._gear_pending: int | None = None
         self.emergency_nacks = 0
         self._last_now = 0.0
+
+        # turboshift probe state (reference: arq_commander.cc:1135-1167;
+        # desync-safe variant — see _poll_turbo)
+        self._turbo_active = False
+        self._turbo_rendezvous = self.cfg.init_configuration
+        self._turbo_candidate: int | None = None
+        self._turbo_stage: str | None = None      # 'set' | 'test'
+        self._probe_deadline: float | None = None  # responder-side revert
+        self._probe_revert_cfg: int | None = None
 
         # responder RX block state
         self._rx_msgs: dict[int, P.Message] = {}
@@ -275,9 +285,17 @@ class ArqNode:
                 self._rx_msgs.clear()
                 self._queue_pattern_ack(now)
             # else: withhold ACK; commander resends the missing frames
+        elif code == P.TEST_CONNECTION and self.link_status == P.CONNECTED:
+            self._probe_deadline = None       # probe frame decoded: success
+            self._queue_pattern_ack(now)
         elif code == P.SET_CONFIG and self.role == P.RESPONDER:
             fwd = msg.data[1]
+            turbo = len(msg.data) > 3 and msg.data[3] == 1
             self._queue_pattern_ack(now, new_config=fwd)
+            if turbo:
+                # revert to the rendezvous config if no probe frame arrives
+                # (commander timed out and fell back)
+                self._pending_probe_revert = int(msg.data[2])
         elif code == P.SWITCH_ROLE and self.role == P.RESPONDER \
                 and self.link_status == P.CONNECTED:
             # become the commander after acking (reference:
@@ -311,6 +329,26 @@ class ArqNode:
             if code == P.START_CONNECTION:
                 self.link_status = P.CONNECTED
                 self.on_event(f"CONNECTED {self.destination_call_sign}")
+                if self.cfg.turboshift and self.cfg.gear_shift_on:
+                    self._turbo_active = True
+                    self._turbo_rendezvous = self.current_configuration
+                    self._turbo_candidate = self._ladder_up()
+                    self._turbo_stage = None
+                    self.on_event("TURBO START")
+            elif code == P.SET_CONFIG and self._turbo_stage == "set":
+                # turbo probe: responder switched — test at the candidate
+                self._set_config(self._turbo_candidate)
+                self._turbo_stage = "test"
+            elif code == P.TEST_CONNECTION and self._turbo_stage == "test":
+                # candidate works: it becomes the new rendezvous
+                self._turbo_rendezvous = self._turbo_candidate
+                self.stats.gearshift_ups += 1
+                self.on_event(f"TURBO OK {self.current_configuration}")
+                self._turbo_candidate = self._ladder_up()
+                self._turbo_stage = None
+                if self._turbo_candidate == self._turbo_rendezvous:
+                    self._turbo_active = False
+                    self.on_event(f"TURBO DONE {self.current_configuration}")
             elif code == P.SET_CONFIG and self._gear_pending is not None:
                 self._set_config(self._gear_pending)
                 self.stats.gearshift_ups += 1
@@ -351,11 +389,26 @@ class ArqNode:
                 self._set_config(int(self._pending_new_config))
                 self.on_event(f"GEARSHIFT {self.current_configuration}")
                 self._pending_new_config = None
+                if getattr(self, "_pending_probe_revert", None) is not None:
+                    self._probe_revert_cfg = self._pending_probe_revert
+                    # must outlast the commander's control-ack timeout plus
+                    # the probe frame itself, or the two sides desync
+                    self._probe_deadline = (now + self.ack_timeout_ms
+                                            + 3 * self.frame_ms + 2000)
+                    self._pending_probe_revert = None
             if getattr(self, "_pending_role", None) is not None:
                 self.role = self._pending_role
                 self._pending_role = None
                 self.on_event(f"ROLE {'COMMANDER' if self.role == P.COMMANDER else 'RESPONDER'}")
             return out
+
+        # responder-side turbo revert: commander fell back to the rendezvous
+        if (self._probe_deadline is not None and now > self._probe_deadline):
+            self._probe_deadline = None
+            if self._probe_revert_cfg is not None:
+                self._set_config(self._probe_revert_cfg)
+                self.on_event(f"TURBO REVERT {self.current_configuration}")
+                self._probe_revert_cfg = None
 
         if self.role != P.COMMANDER:
             return out
@@ -366,6 +419,14 @@ class ArqNode:
                 return out
             kind = self._await_ack_kind
             self._await_ack_kind = None
+            if kind == "control" and self._turbo_stage is not None:
+                # turbo probe failed: settle at the rendezvous config
+                self._pending_control = None
+                self._set_config(self._turbo_rendezvous)
+                self._turbo_active = False
+                self._turbo_stage = None
+                self.on_event(f"TURBO DONE {self.current_configuration}")
+                return out
             self._resends_left -= 1
             self.consecutive_data_acks = 0
             if kind == "data":
@@ -386,7 +447,21 @@ class ArqNode:
             self._pending_control = P.Message(type=P.CONTROL, length=len(data),
                                               data=data)
 
+        # turboshift probe driver
+        if (self.link_status == P.CONNECTED and self._turbo_active
+                and self._pending_control is None):
+            if self._turbo_stage is None:
+                data = bytes([P.SET_CONFIG, self._turbo_candidate & 0xFF,
+                              self._turbo_rendezvous & 0xFF, 1])
+                self._pending_control = P.Message(type=P.CONTROL,
+                                                  length=len(data), data=data)
+            elif self._turbo_stage == "test":
+                self._pending_control = P.Message(
+                    type=P.CONTROL, length=1, data=bytes([P.TEST_CONNECTION]))
+
         if self._pending_control is not None:
+            if self._turbo_active and self._turbo_stage is None:
+                self._turbo_stage = "set"
             out.append(self._modulate_batch([self._pending_control]))
             self._start_wait("control", now)
             return out

@@ -62,6 +62,25 @@ def test_break_recovery_on_bad_channel():
     assert any("BREAK" in e for e in events)
 
 
+def test_turboshift_probes_ladder():
+    """Turboshift sprints up the ladder with 1-frame probes right after
+    connect, settling at the channel's capacity before data flows."""
+    cfg = ArqConfig(init_configuration=0, gear_shift_on=True,
+                    robust_enabled=False, batch_size=3, turboshift=True)
+    events = []
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg, on_event=lambda e: events.append(e))
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=14, seed=4))
+    payload = bytes(np.random.default_rng(0).integers(0, 256, 400).astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=1800, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert any("TURBO DONE" in e for e in events)
+    assert a.current_configuration >= 8      # sprinted well past CONFIG_0
+    assert a.current_configuration == b.current_configuration
+
+
 def test_switch_role_bidirectional():
     cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=3)
     a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
