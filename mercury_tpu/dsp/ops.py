@@ -40,6 +40,51 @@ def fir_same(x: jnp.ndarray, taps) -> jnp.ndarray:
     return out[:, 0, :n]
 
 
+def fir_same_strided(x: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
+    """Centered 'same' FIR evaluated only at positions 0, stride, 2*stride…
+    — out[m] == fir_same(x)[m*stride], at 1/stride the filter work."""
+    taps = jnp.asarray(taps)
+    if jnp.iscomplexobj(x):
+        return (fir_same_strided(x.real, taps, stride)
+                + 1j * fir_same_strided(x.imag, taps, stride))
+    x = jnp.atleast_2d(x)
+    ntaps = taps.shape[0]
+    center = (ntaps - 1) // 2
+    lhs = x[:, None, :].astype(taps.dtype)
+    rhs = jnp.flip(taps)[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(stride,),
+        padding=[(ntaps - 1 - center, center)],
+        dimension_numbers=("NCH", "IOH", "NCH"))
+    return out[:, 0]
+
+
+def fir_decimate_segment(seg: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
+    """Polyphase decimating FIR over a pre-extracted segment.
+
+    seg: [..., n_out*stride + ntaps - 1] where seg[k] corresponds to
+    x[start - center + k] of the underlying signal (center = (ntaps-1)//2).
+    Returns out[..., n_out] with out[m] == fir_same(x)[start + m*stride] —
+    i.e. identical values to filtering the whole signal and taking every
+    stride-th sample from `start`, at 1/stride of the work and only over
+    the segment (the RX hot-path optimization: the decoder only ever reads
+    base-rate samples of the frame, so the interp-rate FIR over the full
+    capture buffer is wasted work).
+    """
+    taps = jnp.asarray(taps)
+    if jnp.iscomplexobj(seg):
+        return (fir_decimate_segment(seg.real, taps, stride)
+                + 1j * fir_decimate_segment(seg.imag, taps, stride))
+    ntaps = taps.shape[0]
+    n_out = (seg.shape[-1] - (ntaps - 1)) // stride
+    lhs = seg[:, None, :].astype(taps.dtype)
+    rhs = jnp.flip(taps)[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"))
+    return out[:, 0, :n_out]
+
+
 def linear_interp(x: jnp.ndarray, rate: int) -> jnp.ndarray:
     """Linear interpolation upsampler (reference rational_resampler
     INTERPOLATION, ofdm.cc:2278-2291); the final input sample is linearly

@@ -100,19 +100,44 @@ class RxChain:
         self._crc_nbits = ncheck * 8
 
     # ------------------------------------------------------------------
-    def to_baseband(self, pb: jnp.ndarray, freq_offset=0.0, data_fir: bool = True):
-        """Passband [B, n] -> interpolated-rate complex baseband, mixed at
-        fc + freq_offset ([B] or scalar), FIR filtered (reference
-        passband_to_baseband with decimation_rate=1)."""
+    def mix(self, pb: jnp.ndarray, freq_offset=0.0) -> jnp.ndarray:
+        """Passband [B, n] -> complex IQ at fc + freq_offset (no filtering)."""
         g = self.geom
         n = pb.shape[-1]
         t = jnp.arange(n, dtype=self.real_dtype)
         f = jnp.asarray(freq_offset, dtype=self.real_dtype)
         f = jnp.reshape(f, (-1, 1)) if f.ndim else f
         ph = (2 * np.pi / g.fs) * (g.fc + f) * t
-        iq = pb.astype(self.real_dtype) * np.sqrt(2.0) * (jnp.cos(ph) + 1j * jnp.sin(ph))
+        return pb.astype(self.real_dtype) * np.sqrt(2.0) * (jnp.cos(ph) + 1j * jnp.sin(ph))
+
+    def to_baseband(self, pb: jnp.ndarray, freq_offset=0.0, data_fir: bool = True):
+        """Passband [B, n] -> interpolated-rate complex baseband, mixed at
+        fc + freq_offset ([B] or scalar), FIR filtered (reference
+        passband_to_baseband with decimation_rate=1)."""
         taps = self._fir_data if data_fir else self._fir_ts
-        return ops.fir_same(iq, taps)
+        return ops.fir_same(self.mix(pb, freq_offset), taps)
+
+    def extract_frame_decimated(self, iq: jnp.ndarray, delay: jnp.ndarray,
+                                n_symb: int) -> jnp.ndarray:
+        """Frame extraction fused with the data FIR: slice the *unfiltered*
+        IQ segment at per-row delay and run a polyphase decimating FIR that
+        produces exactly the base-rate samples the demodulator reads.
+        Replaces [full-buffer FIR at interp rate -> slice -> ::interp]
+        (identical values, ~interp x buffer/frame less filter work)."""
+        g = self.geom
+        ntaps = self._fir_data.shape[0]
+        center = (ntaps - 1) // 2
+        frame_interp = g.nofdm * (n_symb + g.preamble_nsymb) * g.interp
+        seg_len = frame_interp + ntaps - 1
+        n = iq.shape[-1]
+        start = jnp.clip(delay.astype(jnp.int32) - center, 0,
+                         max(n - seg_len, 0))
+
+        def slice_one(row, st):
+            return jax.lax.dynamic_slice(row, (st,), (seg_len,))
+
+        seg = jax.vmap(slice_one)(iq, start)
+        return ops.fir_decimate_segment(seg, self._fir_data, g.interp)
 
     # ------------------------------------------------------------------
     def extract_frame(self, bb: jnp.ndarray, delay: jnp.ndarray) -> jnp.ndarray:
@@ -231,8 +256,8 @@ class RxChain:
         """Decode a frame from the capture buffer at a known delay and
         frequency offset."""
         g = self.geom
-        bb = self.to_baseband(pb_buffer, freq_offset, data_fir=True)
-        frame = self.extract_frame(bb, delay)
+        iq = self.mix(pb_buffer, freq_offset)
+        frame = self.extract_frame_decimated(iq, delay, self.active_nsymb)
         grid = self.demod_grid(frame)
         if g.spec.is_mfsk:
             llr, snr, mean_h = self.decode_mfsk(grid)
@@ -252,10 +277,13 @@ class RxChain:
 
         def run(pb_buffer):
             b = pb_buffer.shape[0]
-            # 1) coarse sync on the time-sync FIR baseband
-            bb_ts = self.to_baseband(pb_buffer, 0.0, data_fir=False)
+            iq = self.mix(pb_buffer, 0.0)
+            # 1) coarse sync on a 2x-decimated time-sync-FIR baseband (the
+            # TS filter bandlimits far below the decimated Nyquist; the MF
+            # refinement below restores full-rate timing)
+            bb_ts2 = ops.fir_same_strided(iq, self._fir_ts, 2)
             if g.spec.is_mfsk:
-                met = sync.mfsk_sync_metric(bb_ts, g)
+                met = sync.mfsk_sync_metric(bb_ts2, g, decim=2)
                 sym_idx = jnp.argmax(met, axis=-1)
                 delay = (sym_idx * g.nofdm * g.interp).astype(jnp.int32)
                 metric = jnp.take_along_axis(met, sym_idx[:, None], axis=-1)[:, 0]
@@ -265,13 +293,28 @@ class RxChain:
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
                                 metric, mean_h)
 
-            met = sync.schmidl_cox_metric(bb_ts, g)
-            delay = jnp.argmax(met, axis=-1).astype(jnp.int32)
-            metric = jnp.take_along_axis(met, delay[:, None], axis=-1)[:, 0]
-            # matched-filter refinement (±2 symbols around the SC peak)
-            delay, _mf = sync.matched_filter_refine(
-                bb_ts, delay, self._mf_templates, g,
-                window=2 * g.nofdm * g.interp)
+            met = sync.schmidl_cox_metric(bb_ts2, g, decim=2)
+            coarse = (jnp.argmax(met, axis=-1) * 2).astype(jnp.int32)
+            metric = jnp.take_along_axis(met, (coarse // 2)[:, None], axis=-1)[:, 0]
+            # matched-filter refinement (±2 symbols around the SC peak);
+            # full-rate TS filtering only over the refinement segment
+            window = 2 * g.nofdm * g.interp
+            lp, s_tmpl = self._mf_templates.shape
+            ntaps = self._fir_ts.shape[0]
+            center = (ntaps - 1) // 2
+            seg_core = 2 * window + lp * s_tmpl
+            n_iq = iq.shape[-1]
+            seg_start = jnp.clip(coarse - window, 0, max(n_iq - seg_core, 0))
+
+            def slice_one(row, st):
+                return jax.lax.dynamic_slice(row, (st,), (seg_core + ntaps - 1,))
+
+            iq_seg = jax.vmap(slice_one)(
+                iq, jnp.clip(seg_start - center, 0,
+                             max(n_iq - seg_core - ntaps + 1, 0)))
+            bb_seg = ops.fir_same(iq_seg, self._fir_ts)[..., center: center + seg_core]
+            delay, _mf = sync.matched_filter_refine_seg(
+                bb_seg, seg_start, self._mf_templates, window)
             # sample a little early inside the guard interval: the exact
             # frame-start sample sits on the ISI boundary of the RX FIR tails,
             # a small advance is absorbed by the cyclic prefix + channel
@@ -281,9 +324,9 @@ class RxChain:
                          (g.nsymb + g.preamble_nsymb)) * g.interp
             delay = jnp.clip(delay, 0, max_delay)
 
-            # 2) data-FIR baseband once; Moose CFO at the found delay
-            bb0 = self.to_baseband(pb_buffer, 0.0, data_fir=True)
-            dec0 = self.extract_frame(bb0, delay)              # [B, L] base rate
+            # 2) polyphase data FIR over the frame segment only; Moose CFO
+            iq = self.mix(pb_buffer, 0.0)
+            dec0 = self.extract_frame_decimated(iq, delay, self.active_nsymb)
             freq_m = sync.moose_cfo(dec0, g).astype(self.real_dtype)
             freq_m = jnp.where(jnp.abs(freq_m) > 0.1, freq_m, 0.0)
 

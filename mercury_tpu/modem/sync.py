@@ -27,16 +27,21 @@ def _comb(prefix: jnp.ndarray, n_sections: int, stride: int, out_len: int) -> jn
     return acc
 
 
-def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
+def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
+                       decim: int = 1) -> jnp.ndarray:
     """Normalized Schmidl-Cox correlation for every candidate start offset.
 
-    bb: interpolated-rate baseband [B, n]. Returns metric [B, n_cand] where
-    n_cand = n - preamble_len + 1 clipped to >= 1. Matches the reference
-    time_sync_preamble metric: GI-lag and half-symbol-lag correlations summed
-    over the preamble symbols, normalized by sqrt(norm_a * norm_b); windows
-    with tiny energy are zeroed (norm < 0.001 guard, ofdm.cc:1813-1816).
+    bb: baseband [B, n] at interp rate divided by `decim` (the time-sync FIR
+    bandlimits to <1.1 kHz, so a 2x-decimated search loses nothing but a
+    sample of timing resolution that the matched-filter refinement restores).
+    Returns metric [B, n_cand]; candidate i corresponds to interp-rate offset
+    i*decim. Matches the reference time_sync_preamble metric: GI-lag and
+    half-symbol-lag correlations summed over the preamble symbols, normalized
+    by sqrt(norm_a * norm_b); near-zero-energy windows are zeroed
+    (norm < 0.001 guard, ofdm.cc:1813-1816).
     """
-    r = geom.interp
+    r = geom.interp // decim
+    assert r * decim == geom.interp
     nfft_r, ngi_r = geom.nfft * r, geom.ngi * r
     half_r = (geom.nfft // 2) * r
     s = nfft_r + ngi_r
@@ -98,6 +103,16 @@ def matched_filter_refine(bb: jnp.ndarray, coarse_delay: jnp.ndarray,
         return jax.lax.dynamic_slice(row, (st,), (seg_len,))
 
     seg = jax.vmap(slice_one)(bb, start)
+    return matched_filter_refine_seg(seg, start, templates, window)
+
+
+def matched_filter_refine_seg(seg: jnp.ndarray, start: jnp.ndarray,
+                              templates: jnp.ndarray,
+                              window: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Matched-filter refinement over a pre-extracted full-rate segment.
+    seg: [B, 2*window + Lp*S]; start: absolute offset of seg[0]."""
+    lp, s = templates.shape
+    seg_len = seg.shape[-1]
 
     nfft2 = 1
     while nfft2 < seg_len:
@@ -111,7 +126,7 @@ def matched_filter_refine(bb: jnp.ndarray, coarse_delay: jnp.ndarray,
     n_cand = 2 * window + 1
     t_norm = jnp.sqrt(jnp.sum(jnp.abs(templates) ** 2, axis=-1))  # [Lp]
 
-    score = jnp.zeros((bb.shape[0], n_cand), dtype=bb.real.dtype)
+    score = jnp.zeros((seg.shape[0], n_cand), dtype=seg.real.dtype)
     # mean energy scale for the silence guard: float32 prefix-sum cancellation
     # can drive window energies to ~0 (or negative) in exact silence, which
     # would explode the normalized score — zero those windows instead
@@ -156,15 +171,17 @@ def moose_cfo(frame_decim: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
     return (angle / np.pi) * subc
 
 
-def mfsk_sync_metric(bb: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
+def mfsk_sync_metric(bb: jnp.ndarray, geom: ModeGeometry,
+                     decim: int = 1) -> jnp.ndarray:
     """MFSK preamble tone correlation per symbol-aligned offset
     (reference: time_sync_mfsk, ofdm.cc:1969-2063).
 
-    bb: interpolated baseband [B, n]. Returns metric [B, n_symb_cand] where
-    candidate s corresponds to delay s * Nofdm * interp.
+    bb: baseband [B, n] at interp/decim rate. Returns metric
+    [B, n_symb_cand]; candidate s corresponds to delay s * Nofdm * interp.
     """
     p = geom.mfsk
-    r = geom.interp
+    r = geom.interp // decim
+    assert r * decim == geom.interp
     nofdm, nfft, ngi, nc = geom.nofdm, geom.nfft, geom.ngi, geom.nc
     n = bb.shape[-1]
     buffer_nsymb = n // (nofdm * r)
