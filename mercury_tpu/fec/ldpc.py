@@ -106,12 +106,23 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
     c_idx = jnp.asarray(np.where(code.c_idx < 0, 0, code.c_idx))
     c_mask = jnp.asarray(code.c_idx >= 0)
     v_mask = jnp.asarray(code.v_idx >= 0)                      # [N, Vw]
-    # flat index of each check edge into the variable-side [N*Vw] slots;
-    # padded edges point at a sentinel slot (index N*Vw) that is dropped
+    # flat index of each check edge into the variable-side [N*Vw] slots
     vpos = np.where(code.v_pos < 0, 0, code.v_pos)
     edge_flat_np = np.where(code.c_idx >= 0,
                             code.c_idx * vw + vpos, n * vw)
     edge_flat = jnp.asarray(edge_flat_np)                      # [P, Cw]
+    # variable-side gather map: for edge (v, k) with check i = V[v,k], the
+    # slot c of v within C[i] — so R_var[v,k] = R_check[i, c] is a gather
+    # instead of a scatter (cheaper on both VPU and CPU)
+    c_slot = np.zeros((n, vw), dtype=np.int64)
+    ci, cc = np.nonzero(code.c_idx >= 0)
+    # invert (check, slot) -> variable edge: for each check edge, record its
+    # slot at the variable side position
+    var_of_edge = code.c_idx[ci, cc]
+    vpos_of_edge = code.v_pos[ci, cc]
+    c_slot[var_of_edge, vpos_of_edge] = ci * cw + cc
+    var_edge_flat = jnp.asarray(
+        np.where(code.v_idx >= 0, c_slot, p * cw))             # [N, Vw]
 
     llr = llr.astype(jnp.float32)
     b = llr.shape[0]
@@ -131,15 +142,16 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
         qe = jnp.take(qf, edge_flat.reshape(-1), axis=1).reshape(b, p, cw)
         t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
         # exclusive product via forward/backward cumulative products
-        fwd = jnp.concatenate([jnp.ones((b, p, 1)), jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
+        fwd = jnp.concatenate([jnp.ones((b, p, 1), llr.dtype), jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
         bwd_in = jnp.flip(t, axis=-1)
-        bwd = jnp.concatenate([jnp.ones((b, p, 1)), jnp.cumprod(bwd_in, axis=-1)[..., :-1]], axis=-1)
+        bwd = jnp.concatenate([jnp.ones((b, p, 1), llr.dtype), jnp.cumprod(bwd_in, axis=-1)[..., :-1]], axis=-1)
         bwd = jnp.flip(bwd, axis=-1)
         prod_excl = jnp.clip(fwd * bwd, -0.9999999, 0.9999999)
         r_vals = 2.0 * jnp.arctanh(prod_excl)                   # [B, P, Cw]
-        r_flat = jnp.zeros((b, n * vw + 1), dtype=llr.dtype)
-        r_flat = r_flat.at[:, edge_flat.reshape(-1)].set(r_vals.reshape(b, -1))
-        r_new = r_flat[:, : n * vw].reshape(b, n, vw)
+        # variable-side view of the check messages: pure gather
+        r_pad = jnp.concatenate(
+            [r_vals.reshape(b, -1), jnp.zeros((b, 1), llr.dtype)], axis=-1)
+        r_new = jnp.take(r_pad, var_edge_flat.reshape(-1), axis=1).reshape(b, n, vw)
         llr_new = llr + jnp.sum(jnp.where(v_mask[None], r_new, 0.0), axis=-1)
         bits = (llr_new < 0).astype(jnp.int32)
         conv = jnp.all(syndrome(bits) == 0, axis=-1)
