@@ -148,10 +148,18 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
         bwd = jnp.flip(bwd, axis=-1)
         prod_excl = jnp.clip(fwd * bwd, -0.9999999, 0.9999999)
         r_vals = 2.0 * jnp.arctanh(prod_excl)                   # [B, P, Cw]
-        # variable-side view of the check messages: pure gather
-        r_pad = jnp.concatenate(
-            [r_vals.reshape(b, -1), jnp.zeros((b, 1), llr.dtype)], axis=-1)
-        r_new = jnp.take(r_pad, var_edge_flat.reshape(-1), axis=1).reshape(b, n, vw)
+        # redistribute check messages to the variable side: gather via the
+        # inverse edge map on TPU (scatters are slow there), scatter on CPU
+        # (measured faster on host)
+        if jax.default_backend() == "cpu":
+            r_flat = jnp.zeros((b, n * vw + 1), dtype=llr.dtype)
+            r_flat = r_flat.at[:, edge_flat.reshape(-1)].set(r_vals.reshape(b, -1))
+            r_new = r_flat[:, : n * vw].reshape(b, n, vw)
+        else:
+            r_pad = jnp.concatenate(
+                [r_vals.reshape(b, -1), jnp.zeros((b, 1), llr.dtype)], axis=-1)
+            r_new = jnp.take(r_pad, var_edge_flat.reshape(-1),
+                             axis=1).reshape(b, n, vw)
         llr_new = llr + jnp.sum(jnp.where(v_mask[None], r_new, 0.0), axis=-1)
         bits = (llr_new < 0).astype(jnp.int32)
         conv = jnp.all(syndrome(bits) == 0, axis=-1)
