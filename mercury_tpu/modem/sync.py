@@ -49,14 +49,19 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
     n = bb.shape[-1]
     n_cand = max(n - lp * s, 1)
 
-    # lag products and energy
-    p1 = jnp.real(bb[..., :-nfft_r] * jnp.conj(bb[..., nfft_r:]))
-    p2 = jnp.real(bb[..., :-half_r] * jnp.conj(bb[..., half_r:]))
+    # Complex lag products: a carrier offset rotates each lag correlation by
+    # a fixed phase (2π·Δf·lag/fs), so taking |·| per lag type makes the
+    # coarse metric CFO-immune — the reference's real-part sum collapses
+    # around ±22 Hz, which is why it needs its ±30 Hz re-mix search; this
+    # formulation doesn't (intra-window rotation is negligible).
+    p1 = bb[..., :-nfft_r] * jnp.conj(bb[..., nfft_r:])
+    p2 = bb[..., :-half_r] * jnp.conj(bb[..., half_r:])
     e = jnp.real(bb) ** 2 + jnp.imag(bb) ** 2
 
+    zero_c = jnp.zeros_like(bb[..., :1])
     zero = jnp.zeros_like(bb[..., :1].real)
-    cp1 = jnp.concatenate([zero, jnp.cumsum(p1, axis=-1)], axis=-1)
-    cp2 = jnp.concatenate([zero, jnp.cumsum(p2, axis=-1)], axis=-1)
+    cp1 = jnp.concatenate([zero_c, jnp.cumsum(p1, axis=-1)], axis=-1)
+    cp2 = jnp.concatenate([zero_c, jnp.cumsum(p2, axis=-1)], axis=-1)
     ce = jnp.concatenate([zero, jnp.cumsum(e, axis=-1)], axis=-1)
 
     out_len = n_cand
@@ -64,9 +69,9 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
     c2 = _comb(cp2, lp, s, out_len + ngi_r + half_r)
     cee = _comb(ce, lp, s, out_len + s)
 
-    gi_num = c1[..., ngi_r: ngi_r + out_len] - c1[..., :out_len]
-    half_num = (c2[..., ngi_r + half_r: ngi_r + half_r + out_len]
-                - c2[..., ngi_r: ngi_r + out_len])
+    gi_num = jnp.abs(c1[..., ngi_r: ngi_r + out_len] - c1[..., :out_len])
+    half_num = jnp.abs(c2[..., ngi_r + half_r: ngi_r + half_r + out_len]
+                       - c2[..., ngi_r: ngi_r + out_len])
     norm_a = cee[..., ngi_r + half_r: ngi_r + half_r + out_len] - cee[..., :out_len]
     norm_b = (2.0 * cee[..., s: s + out_len]
               - cee[..., nfft_r: nfft_r + out_len]
@@ -74,7 +79,20 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
     corr = gi_num + half_num
     denom = jnp.sqrt(jnp.maximum(norm_a * norm_b, 1e-30))
     metric = jnp.where((norm_a < 1e-3) | (norm_b < 1e-3), 0.0, corr / denom)
-    return metric
+
+    # free coarse CFO per candidate from the half-symbol lag phase:
+    # angle(Σ p2) = -2π·Δf·(Nfft/2·R_interp)/fs, unambiguous over ±fs/Nfft
+    # = ±46.9 Hz (twice Moose's range) — used to pre-rotate the matched
+    # filter and seed the CFO hypothesis set.
+    half_c = (c2[..., ngi_r + half_r: ngi_r + half_r + out_len]
+              - c2[..., ngi_r: ngi_r + out_len])
+    # lag in real-time seconds is decim-invariant: half_r*decim / fs
+    # sign: the reference's conjugate-free mixer (+sin arm) produces the
+    # conjugate baseband, so the apparent rotation is negated relative to
+    # the textbook convention (verified against injected offsets)
+    lag_s = (geom.nfft // 2) * geom.interp / geom.fs
+    cfo = jnp.arctan2(jnp.imag(half_c), jnp.real(half_c)) / (2 * np.pi * lag_s)
+    return metric, cfo
 
 
 def matched_filter_refine(bb: jnp.ndarray, coarse_delay: jnp.ndarray,

@@ -83,8 +83,8 @@ def rx_diagnostics(rx_chain, pb_buffer: np.ndarray) -> dict:
     bb = rx_chain.to_baseband(buf, 0.0, data_fir=False)
     out: dict = {}
     if not g.spec.is_mfsk:
-        met = np.asarray(sync_mod.schmidl_cox_metric(bb, g))[0]
-        out["sync_metric"] = met
+        met, _cfo = sync_mod.schmidl_cox_metric(bb, g)
+        out["sync_metric"] = np.asarray(met)[0]
     res = rx_chain.receive(buf)
     delay = int(np.asarray(res.delay)[0])
     out.update(delay=delay, crc_ok=bool(np.asarray(res.crc_ok)[0]),

@@ -48,7 +48,10 @@ def test_tcp_api_end_to_end():
         assert "OK" in _recv_lines(ctl_b)
 
         ctl_a.sendall(b"CONNECT VE3XYZ N0CALL\r")
-        lines = _recv_lines(ctl_a)
+        lines = []
+        deadline = time.time() + 5
+        while time.time() < deadline and "PENDING" not in lines:
+            lines += _recv_lines(ctl_a, 1.0)
         assert "OK" in lines and "PENDING" in lines
 
         # wait for CONNECTED on both control sockets
