@@ -262,6 +262,9 @@ class ArqNode:
             if self.link_status == P.CONNECTED:
                 self._rx_msgs[msg.id] = msg
                 self.stats.received_data += 1
+                self._last_peer_activity = now
+                # a fresh/resent block invalidates the repeatable last ACK
+                self._had_acked_block = False
         elif msg.type == P.CONTROL:
             self._on_control(msg, now)
 
@@ -283,6 +286,7 @@ class ArqNode:
                     m = self._rx_msgs[mid]
                     self.fifo_rx.extend(m.data[: m.length])
                 self._rx_msgs.clear()
+                self._had_acked_block = True
                 self._queue_pattern_ack(now)
             # else: withhold ACK; commander resends the missing frames
         elif code == P.TEST_CONNECTION and self.link_status == P.CONNECTED:
@@ -302,6 +306,22 @@ class ArqNode:
             # arq_responder.cc:764-770, arq_commander.cc turboshift/finish)
             self._queue_pattern_ack(now)
             self._pending_role = P.COMMANDER
+        elif code == P.KEEP_ALIVE and self.link_status == P.CONNECTED:
+            self._last_peer_activity = now
+            self._queue_pattern_ack(now)
+        elif code == P.REPEAT_LAST_ACK and self.role == P.RESPONDER:
+            # the commander missed our ACK — repeat the pattern only if we
+            # actually ACKed the last block (reference: repeating_last_ack,
+            # arq_responder.cc:797-801); otherwise stay silent so the
+            # commander's next timeout triggers a data resend
+            if getattr(self, "_had_acked_block", False):
+                self._queue_pattern_ack(now)
+        elif code in (P.FILE_START, P.FILE_END_, P.PIPE_OPEN, P.PIPE_CLOSE) \
+                and self.role == P.RESPONDER and self.link_status == P.CONNECTED:
+            name = {P.FILE_START: "FILE START", P.FILE_END_: "FILE END",
+                    P.PIPE_OPEN: "PIPE OPEN", P.PIPE_CLOSE: "PIPE CLOSE"}[code]
+            self.on_event(name)
+            self._queue_pattern_ack(now)
         elif code == P.CLOSE_CONNECTION:
             self._queue_pattern_ack(now)
             self.link_status = P.DISCONNECTING
@@ -314,6 +334,7 @@ class ArqNode:
     def _on_ack_pattern(self, now: float) -> None:
         kind = self._await_ack_kind
         self._await_ack_kind = None
+        self._last_peer_activity = now
         if kind == "data":
             for m in self._block_msgs:
                 m.status = P.ACKED
@@ -322,6 +343,7 @@ class ArqNode:
             self.stats.blocks_acked += 1
             self.consecutive_data_acks += 1
             self.emergency_nacks = 0
+            self._tried_repeat = False
             self._resends_left = self.cfg.n_resends
         elif kind == "control":
             code = (self._pending_control.data[0]
@@ -410,6 +432,19 @@ class ArqNode:
                 self.on_event(f"TURBO REVERT {self.current_configuration}")
                 self._probe_revert_cfg = None
 
+        # link supervision (reference link_timeout, arq_common.cc:1216-1260)
+        if self.link_status == P.CONNECTED:
+            last = getattr(self, "_last_peer_activity", None)
+            if last is None:
+                self._last_peer_activity = last = now
+            if now - last > self.cfg.link_timeout_ms:
+                if self.role == P.RESPONDER:
+                    self.link_status = P.LISTENING
+                else:
+                    self.link_status = P.DROPPED
+                self.on_event("LINK TIMEOUT")
+                return out
+
         if self.role != P.COMMANDER:
             return out
 
@@ -430,6 +465,17 @@ class ArqNode:
             self._resends_left -= 1
             self.consecutive_data_acks = 0
             if kind == "data":
+                if not getattr(self, "_tried_repeat", False):
+                    # maybe only the ACK was lost: ask the responder to
+                    # repeat it before re-sending the whole block
+                    # (reference REPEAT_LAST_ACK, datalink_defines.h:83)
+                    self._tried_repeat = True
+                    ctrl = P.Message(type=P.CONTROL, length=1,
+                                     data=bytes([P.REPEAT_LAST_ACK]))
+                    out.append(self._modulate_batch([ctrl]))
+                    self._start_wait("data", now)
+                    return out
+                self._tried_repeat = False
                 self.emergency_nacks += 1
                 if (self.cfg.gear_shift_on
                         and self.emergency_nacks >= self.cfg.emergency_nack_threshold):
@@ -483,6 +529,16 @@ class ArqNode:
                 return out
             self.consecutive_data_acks = 0
 
+        # idle keep-alive (reference KEEP_ALIVE, datalink_defines.h:75)
+        if (self.link_status == P.CONNECTED and not self.fifo_tx
+                and not self._block_msgs and self._pending_control is None
+                and now - self._last_peer_activity > self.cfg.link_timeout_ms / 3):
+            self._pending_control = P.Message(type=P.CONTROL, length=1,
+                                              data=bytes([P.KEEP_ALIVE]))
+            out.append(self._modulate_batch([self._pending_control]))
+            self._start_wait("control", now)
+            return out
+
         # data block
         if self._block_msgs or self.fifo_tx:
             if not self._block_msgs:
@@ -529,6 +585,12 @@ class ArqNode:
         self._set_config(self._ladder_floor())
         self.on_event(f"BREAK -> {self.current_configuration}")
         return pattern
+
+    def send_marker(self, code: int) -> None:
+        """Queue a FILE_START/FILE_END/PIPE_OPEN/PIPE_CLOSE control marker."""
+        assert code in (P.FILE_START, P.FILE_END_, P.PIPE_OPEN, P.PIPE_CLOSE)
+        self._pending_control = P.Message(type=P.CONTROL, length=1,
+                                          data=bytes([code]))
 
     def switch_role(self) -> None:
         """Hand the commander role to the peer (reference SWITCH_ROLE,

@@ -22,11 +22,17 @@ class ChannelModel:
     snr_db: float | None = None      # None = clean
     cfo_hz: float = 0.0
     seed: int = 0
+    drop_blocks: tuple = ()          # block indices the channel swallows
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
+        self._block_counter = 0
 
     def apply(self, samples: np.ndarray) -> np.ndarray:
+        idx = self._block_counter
+        self._block_counter += 1
+        if idx in self.drop_blocks:
+            return np.zeros_like(samples, dtype=np.float32)
         out = samples.astype(np.float64)
         if self.cfo_hz:
             from mercury_tpu.channel import sim as csim

@@ -99,6 +99,51 @@ def test_switch_role_bidirectional():
     assert a.role == P.RESPONDER and b.role == P.COMMANDER
 
 
+def test_repeat_last_ack_recovers_lost_ack():
+    """A dropped ACK pattern is recovered with REPEAT_LAST_ACK — the block
+    is not retransmitted (reference: datalink_defines.h:83)."""
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=2)
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    # blocks: 0=START ctrl, 1=conn ACK, 2=data block, 3=data ACK (dropped)
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=20, drop_blocks=(3,)))
+    payload = b"Q" * 150
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=600,
+            until=lambda: a.stats.blocks_acked >= 1 and not a.fifo_tx
+            and not a._block_msgs)
+    assert b.received() == payload
+    assert a.stats.blocks_sent == 1 and a.stats.blocks_acked == 1
+
+
+def test_keepalive_and_link_timeout():
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=False,
+                    link_timeout_ms=60000)
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=20))
+    a.connect("N0CALL")
+    sim.run(max_sim_s=200)          # idle well past link_timeout
+    assert a.link_status == P.CONNECTED and b.link_status == P.CONNECTED
+
+    class DeadChannel(ChannelModel):
+        def apply(self, s):
+            idx = self._block_counter
+            self._block_counter += 1
+            if idx >= 2:            # everything after the handshake vanishes
+                return np.zeros_like(s, dtype=np.float32)
+            return super().apply(s)
+
+    c = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    d = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim2 = LinkSimulator(c, d, DeadChannel(snr_db=20))
+    c.connect("N0CALL")
+    sim2.run(max_sim_s=900)
+    assert d.link_status == P.LISTENING      # responder re-listens
+    assert c.link_status == P.DROPPED        # commander gives up
+
+
 def test_wrong_callsign_no_connect():
     cfg = ArqConfig(init_configuration=0, gear_shift_on=False)
     cmd = ArqNode("VE3XYZ", P.COMMANDER, cfg)
