@@ -70,6 +70,7 @@ class RxChain:
         self.active_nsymb = geom.ctrl_nsymb if ctrl else geom.nsymb
         self.active_nbits = geom.spec.ctrl_nbits if ctrl else geom.n_bits
         self.cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+        self.np_cdtype = np.complex128 if real_dtype == jnp.float64 else np.complex64
         g = geom
         self.code = load_code(g.spec.ldpc_rate_num)
         self._fir_ts = jnp.asarray(g.fir_rx_ts).astype(real_dtype)
@@ -81,9 +82,9 @@ class RxChain:
         self._pilot_cells = jnp.asarray(g.pilot_cells)
         self._dispersal = jnp.asarray(g.dispersal[: g.n_real].astype(np.int32))
         if not g.spec.is_mfsk:
-            self._pilot_seq = jnp.asarray(g.pilot_seq).astype(self.cdtype)
+            self._pilot_seq = np.asarray(g.pilot_seq, self.np_cdtype)
             self._est_op = jnp.asarray(g.est_op).astype(real_dtype)
-            self._const = jnp.asarray(g.constellation).astype(self.cdtype)
+            self._const = np.asarray(g.constellation, self.np_cdtype)
             self._bit_perm = jnp.asarray(g.bit_perm)
             self._tf_perm = jnp.asarray(g.tf_perm)
         # known-preamble matched-filter templates (interp-rate waveforms)
@@ -98,8 +99,8 @@ class RxChain:
             hostdsp.symbol_mod(pre_vals[l], g.nfft, g.ngi, 1)
             for l in range(g.preamble_nsymb)])
         tmpl = hostdsp.linear_interp_x4(td, g.interp)
-        self._mf_templates = jnp.asarray(
-            tmpl.reshape(g.preamble_nsymb, g.nofdm * g.interp)).astype(self.cdtype)
+        self._mf_templates = np.asarray(
+            tmpl.reshape(g.preamble_nsymb, g.nofdm * g.interp), self.np_cdtype)
 
         ncheck = g.frame_bytes + 2
         a, c0 = crc_mod.crc_affine(ncheck)

@@ -47,6 +47,10 @@ class TxChain:
         self.active_nsymb = g.ctrl_nsymb if self.ctrl else g.nsymb
         self.active_nbits = g.spec.ctrl_nbits if self.ctrl else g.n_bits
         self.cdtype = jnp.complex128 if self.real_dtype == jnp.float64 else jnp.complex64
+        # complex constants stay numpy: the axon TPU backend cannot transfer
+        # complex arrays across the host boundary (numpy closures embed as
+        # HLO literals instead)
+        self.np_cdtype = np.complex128 if self.real_dtype == jnp.float64 else np.complex64
         self.code = load_code(g.spec.ldpc_rate_num)
         a, c0 = crc_mod.crc_affine(g.frame_bytes)
         self._crc_a = jnp.asarray(a.astype(np.float32))
@@ -57,16 +61,17 @@ class TxChain:
         self._pad_map = jnp.asarray(g.pad_map)
         self._pilot_scatter = jnp.asarray(g.pilot_cells)
         self._data_scatter = jnp.asarray(g.data_cells)
-        self._pilot_seq = jnp.asarray(g.pilot_seq.astype(np.complex128)).astype(self.cdtype)
+        self._pilot_seq = np.asarray(g.pilot_seq, self.np_cdtype)
         if g.spec.is_mfsk:
             pre = mfsk_mod.preamble_grid(g.mfsk, g.nc, g.preamble_nsymb)
-            self._pre_grid = jnp.asarray(pre).astype(self.cdtype)
+            self._pre_grid = np.asarray(pre, self.np_cdtype)
             self._pre_eq = None
         else:
             pre = g.preamble_vals * g.pre_eq[None, :] if g.pre_eq is not None else g.preamble_vals
-            self._pre_grid = jnp.asarray(pre).astype(self.cdtype)
-            self._pre_eq = jnp.asarray(g.pre_eq).astype(self.cdtype) if g.pre_eq is not None else None
-            self._const = jnp.asarray(g.constellation).astype(self.cdtype)
+            self._pre_grid = np.asarray(pre, self.np_cdtype)
+            self._pre_eq = (np.asarray(g.pre_eq, self.np_cdtype)
+                            if g.pre_eq is not None else None)
+            self._const = np.asarray(g.constellation, self.np_cdtype)
         taps = self.real_dtype
         self._fir_tx1 = jnp.asarray(g.fir_tx1).astype(taps)
         self._fir_tx2 = jnp.asarray(g.fir_tx2).astype(taps)
