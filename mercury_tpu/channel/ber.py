@@ -83,7 +83,11 @@ class BerHarness:
             else:
                 sigma = sim.sigma_for_esn0(esn0_db)
             key, sub = jax.random.split(key)
-            buf = sim.awgn_passband(sub, tx_frames, sigma, self.delay, self.buf_len)
+            # fill="signal": the reference pads the pre-delay region with
+            # random signal samples (awgn.cc apply_with_delay), stressing
+            # false sync locks — match it so waterfall numbers are comparable
+            buf = sim.awgn_passband(sub, tx_frames, sigma, self.delay,
+                                    self.buf_len, fill="signal")
             res = self.rx.receive(buf)
             got = np.asarray(res.payload)
             errs = np.unpackbits(got ^ payload, axis=-1).sum(axis=-1)

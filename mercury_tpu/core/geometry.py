@@ -109,13 +109,9 @@ def _pilot_type_map(nc: int, nsymb: int, dx: int, dy: int) -> np.ndarray:
     grid = np.full((nc_max, nc_max), DATA, dtype=np.int8)  # [row(sym), col(carrier)]
     x = y = 0
     while x < nc_max and y < nc_max:
+        # reference marks y+k*dy (down) and y-k*dy (up) in column x —
+        # together: every row congruent to y mod dy
         grid[y % dy::dy, x] = PILOT
-        # reference marks y+k*dy (down) and y-k*dy (up); combined that is all
-        # rows congruent to y mod dy
-        for j in range(y, nc_max, dy):
-            grid[j, x] = PILOT
-        for j in range(y, -1, -dy):
-            grid[j, x] = PILOT
         y += 1
         x += dx
 

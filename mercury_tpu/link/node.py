@@ -135,6 +135,8 @@ class ArqNode:
         if getattr(self, "current_configuration", None) == config:
             return
         self._requeue_block()
+        if getattr(self, "_rx_msgs", None):
+            self._rx_msgs.clear()   # partial frames of the old config are void
         self.current_configuration = config
         g, tx, rx, pat = _PhyCache.get(config)
         self.geom, self._tx, self._rx, self._pat = g, tx, rx, pat
@@ -280,26 +282,38 @@ class ArqNode:
         elif code == P.BLOCK_END and self.role == P.RESPONDER \
                 and self.link_status == P.CONNECTED:
             expected = msg.data[1]
-            if len(self._rx_msgs) == expected and expected > 0:
+            seq = msg.data[2] if len(msg.data) > 2 else 0
+            if seq == getattr(self, "_last_block_seq", -1):
+                # retransmit of an already-delivered block (our ACK was lost):
+                # re-ACK but do NOT deliver again (no duplication)
+                self._rx_msgs.clear()
+                self._had_acked_block = True
+                self._queue_pattern_ack(now)
+            elif len(self._rx_msgs) == expected and expected > 0:
                 # deliver in id order, then ACK
                 for mid in sorted(self._rx_msgs):
                     m = self._rx_msgs[mid]
                     self.fifo_rx.extend(m.data[: m.length])
                 self._rx_msgs.clear()
+                self._last_block_seq = seq
                 self._had_acked_block = True
                 self._queue_pattern_ack(now)
-            # else: withhold ACK; commander resends the missing frames
+            else:
+                # incomplete block: withhold the ACK. The commander resends
+                # the ENTIRE block, so stale partial messages must not
+                # survive (they could satisfy a later, smaller block count
+                # after a config change and deliver mixed garbage).
+                self._rx_msgs.clear()
         elif code == P.TEST_CONNECTION and self.link_status == P.CONNECTED:
             self._probe_deadline = None       # probe frame decoded: success
             self._queue_pattern_ack(now)
         elif code == P.SET_CONFIG and self.role == P.RESPONDER:
             fwd = msg.data[1]
-            turbo = len(msg.data) > 3 and msg.data[3] == 1
             self._queue_pattern_ack(now, new_config=fwd)
-            if turbo:
-                # revert to the rendezvous config if no probe frame arrives
-                # (commander timed out and fell back)
-                self._pending_probe_revert = int(msg.data[2])
+            # every config switch (gearshift or turbo probe) arms the revert
+            # deadline: if our ACK is lost the commander stays on the old
+            # config, and without a revert the two ends desync permanently
+            self._pending_probe_revert = int(msg.data[2])
         elif code == P.SWITCH_ROLE and self.role == P.RESPONDER \
                 and self.link_status == P.CONNECTED:
             # become the commander after acking (reference:
@@ -462,6 +476,15 @@ class ArqNode:
                 self._turbo_stage = None
                 self.on_event(f"TURBO DONE {self.current_configuration}")
                 return out
+            if kind == "control" and self._gear_pending is not None:
+                # gearshift proposal unACKed: drop it and stay on the old
+                # config — do NOT resend (the responder may have switched and
+                # will revert via its deadline; resending at the old config
+                # while it listens on the new one would desync the link)
+                self._pending_control = None
+                self._gear_pending = None
+                self.consecutive_data_acks = 0
+                return out
             self._resends_left -= 1
             self.consecutive_data_acks = 0
             if kind == "data":
@@ -543,10 +566,16 @@ class ArqNode:
         if self._block_msgs or self.fifo_tx:
             if not self._block_msgs:
                 self._assemble_block()
+                self._block_seq = (getattr(self, "_block_seq", 0) + 1) & 0xFF
             batch = list(self._block_msgs)
             count = len(batch)
-            batch.append(P.Message(type=P.CONTROL, length=2,
-                                   data=bytes([P.BLOCK_END, count])))
+            # BLOCK_END carries the message count and a block sequence number
+            # so the responder can dedupe a retransmit of a block whose ACK
+            # was lost (extension over the reference, which can deliver
+            # duplicates in that scenario)
+            batch.append(P.Message(type=P.CONTROL, length=3,
+                                   data=bytes([P.BLOCK_END, count,
+                                               self._block_seq])))
             out.append(self._modulate_batch(batch))
             self.stats.sent_data += count
             self.stats.blocks_sent += 1

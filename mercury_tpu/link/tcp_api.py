@@ -101,8 +101,10 @@ class ArqTcpServer:
             if chunk:
                 with self._lock:
                     self.node.send_data(chunk)
-            # push received payload out
-            out = self.node.received()
+            # push received payload out (under the lock: the drive thread
+            # appends to fifo_rx concurrently)
+            with self._lock:
+                out = self.node.received()
             if out:
                 try:
                     conn.sendall(out)

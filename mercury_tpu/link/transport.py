@@ -73,6 +73,10 @@ class UdpTransport:
             hdr = struct.pack(">HHH", bid, i, n_chunks)
             self._sock.sendto(hdr + chunk, self._remote)
 
+    MAX_PENDING = 64   # cap reassembly entries (lost chunks would otherwise
+                       # leak, and a wrapped 16-bit bid could merge chunks of
+                       # two different blocks into one corrupted capture)
+
     def capture(self) -> np.ndarray | None:
         done = []
         while True:
@@ -81,7 +85,12 @@ class UdpTransport:
             except BlockingIOError:
                 break
             bid, i, n = struct.unpack(">HHH", pkt[:6])
-            parts = self._rx_parts.setdefault(bid, [None] * n)
+            parts = self._rx_parts.get(bid)
+            if parts is None or len(parts) != n:
+                # new block (or stale entry from a wrapped bid): start fresh
+                if len(self._rx_parts) >= self.MAX_PENDING:
+                    self._rx_parts.pop(next(iter(self._rx_parts)))
+                parts = self._rx_parts[bid] = [None] * n
             if i < len(parts):
                 parts[i] = pkt[6:]
             if all(p is not None for p in parts):

@@ -388,11 +388,9 @@ class RxChain:
                         freq_m + subc, freq_m - subc)
             else:
                 hyps = (freq_m, jnp.zeros_like(freq_m))
-            t_idx = (delay[:, None].astype(self.real_dtype)
-                     + jnp.arange(dec0.shape[-1], dtype=self.real_dtype) * g.interp)
             grids, variances, sel_metrics, stats = [], [], [], []
             for f_h in hyps:
-                rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_idx)
+                rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
                 dec_h = dec0 * rot.astype(self.cdtype)
                 grid_h = self.demod_grid(dec_h)
                 eq, var, mh, var_full = self.grid_stats(grid_h)
