@@ -168,7 +168,8 @@ class ArqNode:
     # ------------------------------------------------------------------
     # modulation helpers
     def _modulate_batch(self, messages: list[P.Message]) -> np.ndarray:
-        """Serialize messages and modulate them into one passband block."""
+        """Serialize messages and modulate them into one passband block
+        (batch-overlap TX filtering, reference send_batch)."""
         frames = []
         for m in messages:
             payload = P.serialize(m, self.connection_id)
@@ -176,7 +177,7 @@ class ArqNode:
             buf[: len(payload)] = np.frombuffer(payload, np.uint8)
             frames.append(buf)
         batch = np.stack(frames)
-        pb = np.asarray(self._tx.transmit(batch))
+        pb = np.asarray(self._tx.transmit_batch(batch))
         return pb.reshape(-1)
 
     def _start_wait(self, kind: str, now: float) -> None:

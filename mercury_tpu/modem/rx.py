@@ -305,54 +305,76 @@ class RxChain:
                                 metric, mean_h)
 
             met, cfo_arr = sync.schmidl_cox_metric(bb_ts2, g, decim=2)
-            coarse_idx = jnp.argmax(met, axis=-1)
-            coarse = (coarse_idx * 2).astype(jnp.int32)
-            metric = jnp.take_along_axis(met, coarse_idx[:, None], axis=-1)[:, 0]
-            coarse_cfo = jnp.take_along_axis(
-                cfo_arr, coarse_idx[:, None], axis=-1)[:, 0].astype(self.real_dtype)
-            # matched-filter refinement (±2 symbols around the SC peak);
-            # full-rate TS filtering only over the refinement segment
+            # Top-K SC candidates with one-preamble-symbol suppression: the
+            # normalized SC metric can score a *partial* preamble at a window
+            # edge (or the next frame's first symbols) above the complete
+            # frame — silence cancels from numerator and denominator alike
+            # (the reference fights this with energy gates + retry trials,
+            # telecom_system.cc:805-924). The known-preamble matched filter
+            # is immune, so it arbitrates among the SC candidates.
+            n_k = 3 if self.cfo_range == "wide" else 2
+            sym_dec = (g.nofdm * g.interp) // 2
+            met_work = met
+            cand_list, cfo_list, metric_list = [], [], []
+            for _k in range(n_k):
+                idx_k = jnp.argmax(met_work, axis=-1)
+                cand_list.append((idx_k * 2).astype(jnp.int32))
+                metric_list.append(
+                    jnp.take_along_axis(met, idx_k[:, None], axis=-1)[:, 0])
+                cfo_list.append(jnp.take_along_axis(
+                    cfo_arr, idx_k[:, None], axis=-1)[:, 0].astype(self.real_dtype))
+                pos = jnp.arange(met.shape[-1])
+                suppress = jnp.abs(pos[None, :] - idx_k[:, None]) < sym_dec
+                met_work = jnp.where(suppress, -1.0, met_work)
+            metric = metric_list[0]
+
+            # matched-filter arbitration over (candidate x CFO-alias):
+            # full-rate TS filtering only over each refinement segment
             window = 2 * g.nofdm * g.interp
             lp, s_tmpl = self._mf_templates.shape
             ntaps = self._fir_ts.shape[0]
             center = (ntaps - 1) // 2
             seg_core = 2 * window + lp * s_tmpl
             n_iq = iq.shape[-1]
-            seg_start = jnp.clip(coarse - window, 0, max(n_iq - seg_core, 0))
             # pad so edge windows stay filter-aligned (see extract_frame_decimated)
             iq_pad = jnp.pad(iq, [(0, 0), (center, ntaps)])
+            alias = self.real_dtype(g.fs / ((g.nfft // 2) * g.interp))
 
             def slice_one(row, st):
                 return jax.lax.dynamic_slice(row, (st,), (seg_core + ntaps - 1,))
 
-            iq_seg = jax.vmap(slice_one)(iq_pad, seg_start)
-            bb_seg = ops.fir_same(iq_seg, self._fir_ts)[..., center: center + seg_core]
-            # The SC lag-phase CFO is ambiguous modulo fs/(Nfft/2·R) = 93.75
-            # Hz. Pre-rotate the 23 ms-coherent matched filter at all three
-            # alias hypotheses and keep the best score per row — this both
-            # fixes timing under large CFO and resolves the alias, extending
-            # clean acquisition to ~±90 Hz (reference: ±22 native, ±52 with
-            # its triple re-mix search).
-            alias = self.real_dtype(g.fs / ((g.nfft // 2) * g.interp))
-            if self.cfo_range == "wide":
-                cfo_h = jnp.stack([coarse_cfo, coarse_cfo + alias,
-                                   coarse_cfo - alias])         # [A, B]
-            else:
-                cfo_h = coarse_cfo[None]
-            n_alias = cfo_h.shape[0]
-            t_seg = (seg_start[None, :, None].astype(self.real_dtype)
-                     + jnp.arange(seg_core, dtype=self.real_dtype))
-            rot_seg = jnp.exp(1j * (2 * np.pi / g.fs)
-                              * cfo_h[:, :, None] * t_seg).astype(self.cdtype)
-            seg3 = (bb_seg[None] * rot_seg).reshape(n_alias * b, seg_core)
-            start3 = jnp.tile(seg_start, n_alias)
-            delay3, score3 = sync.matched_filter_refine_seg(
-                seg3, start3, self._mf_templates, window)
-            score3 = score3.reshape(n_alias, b)
-            pick_a = jnp.argmax(score3, axis=0)                 # [B]
-            delay = jnp.take_along_axis(
-                delay3.reshape(n_alias, b), pick_a[None], axis=0)[0]
-            coarse_cfo = jnp.take_along_axis(cfo_h, pick_a[None], axis=0)[0]
+            all_delays, all_scores, all_cfos = [], [], []
+            for k in range(n_k):
+                coarse = cand_list[k]
+                coarse_cfo_k = cfo_list[k]
+                seg_start = jnp.clip(coarse - window, 0, max(n_iq - seg_core, 0))
+                iq_seg = jax.vmap(slice_one)(iq_pad, seg_start)
+                bb_seg = ops.fir_same(iq_seg, self._fir_ts)[..., center: center + seg_core]
+                # SC lag-phase CFO is ambiguous modulo 93.75 Hz; pre-rotate
+                # the 23 ms-coherent MF at the alias hypotheses
+                if self.cfo_range == "wide":
+                    cfo_h = jnp.stack([coarse_cfo_k, coarse_cfo_k + alias,
+                                       coarse_cfo_k - alias])   # [A, B]
+                else:
+                    cfo_h = coarse_cfo_k[None]
+                n_alias = cfo_h.shape[0]
+                t_seg = (seg_start[None, :, None].astype(self.real_dtype)
+                         + jnp.arange(seg_core, dtype=self.real_dtype))
+                rot_seg = jnp.exp(1j * (2 * np.pi / g.fs)
+                                  * cfo_h[:, :, None] * t_seg).astype(self.cdtype)
+                seg3 = (bb_seg[None] * rot_seg).reshape(n_alias * b, seg_core)
+                start3 = jnp.tile(seg_start, n_alias)
+                delay3, score3 = sync.matched_filter_refine_seg(
+                    seg3, start3, self._mf_templates, window)
+                all_delays.append(delay3.reshape(n_alias, b))
+                all_scores.append(score3.reshape(n_alias, b))
+                all_cfos.append(cfo_h)
+            scores = jnp.concatenate(all_scores, axis=0)        # [K*A, B]
+            delays = jnp.concatenate(all_delays, axis=0)
+            cfos = jnp.concatenate(all_cfos, axis=0)
+            pick_a = jnp.argmax(scores, axis=0)                 # [B]
+            delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
+            coarse_cfo = jnp.take_along_axis(cfos, pick_a[None], axis=0)[0]
             # sample a little early inside the guard interval: the exact
             # frame-start sample sits on the ISI boundary of the RX FIR tails,
             # a small advance is absorbed by the cyclic prefix + channel

@@ -78,7 +78,14 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
               - cee[..., ngi_r + half_r: ngi_r + half_r + out_len])
     corr = gi_num + half_num
     denom = jnp.sqrt(jnp.maximum(norm_a * norm_b, 1e-30))
-    metric = jnp.where((norm_a < 1e-3) | (norm_b < 1e-3), 0.0, corr / denom)
+    # Energy gates: the reference's absolute norm<1e-3 guard, plus a relative
+    # gate at -20 dB of the strongest window. The relative gate kills a
+    # float32 failure mode: after a strong frame, prefix-sum cancellation
+    # makes numerator and denominator in quiet regions correlated roundoff
+    # garbage with ratio ≈ 1 — those windows sit far below the real
+    # preamble's energy and cannot be the peak.
+    floor = jnp.maximum(1e-3, 1e-2 * jnp.max(norm_a, axis=-1, keepdims=True))
+    metric = jnp.where((norm_a < floor) | (norm_b < floor), 0.0, corr / denom)
 
     # free coarse CFO per candidate from the half-symbol lag phase:
     # angle(Σ p2) = -2π·Δf·(Nfft/2·R_interp)/fs, unambiguous over ±fs/Nfft

@@ -182,6 +182,35 @@ class TxChain:
             return self.modulate(tx_bits)
         return run
 
+    @functools.cached_property
+    def _transmit_batch_jit(self):
+        @jax.jit
+        def run(payload_bytes):
+            bits = self.frame_bits(payload_bytes)
+            tx_bits = self.encode_bits(bits)
+            frames = self.modulate(tx_bits)                     # [B, F] unfiltered
+            b, f = frames.shape
+            # reference send_batch (arq_common.cc:2236-2248): concatenate the
+            # batch, pad one frame-copy at each end, FIR the whole stream so
+            # frame boundaries see real neighbours instead of zeros
+            stream = jnp.concatenate(
+                [frames[0], frames.reshape(-1), frames[-1]])[None]
+            f1 = ops.fir_same(stream, self._fir_tx1)
+            f2 = ops.fir_same(f1, self._fir_tx2)
+            return f2[0, f: f + b * f].reshape(b, f).astype(self.real_dtype)
+        return run
+
+    def transmit_batch(self, payload_bytes) -> jnp.ndarray:
+        """Batch of frames destined for back-to-back transmission: the TX FIR
+        cascade runs over the concatenated stream with edge padding (the
+        reference's send_batch overlap filtering), so inter-frame boundaries
+        carry real filter tails. Returns [B, total_frame_size]; concatenate
+        rows for the air."""
+        payload_bytes = jnp.asarray(payload_bytes)
+        if payload_bytes.shape[-1] != self.geom.frame_bytes:
+            raise ValueError("transmit_batch requires full-width payload rows")
+        return self._transmit_batch_jit(payload_bytes)
+
     def transmit(self, payload_bytes, filtered: bool = True) -> jnp.ndarray:
         """payload bytes [B, <=frame_bytes] -> passband [B, total_frame_size].
         Short payloads are zero-padded to the frame size (the CRC covers the
