@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--config", type=int, default=0)
     ap.add_argument("-p", "--port", type=int, default=7002)
     ap.add_argument("-g", "--gearshift", type=int, default=1)
+    ap.add_argument("--turbo", action="store_true",
+                    help="SIM: turboshift ladder probe after connect")
+    ap.add_argument("--reverse-bytes", type=int, default=0,
+                    help="SIM: after forward transfer, SWITCH_ROLE and pull "
+                         "this many bytes back")
     ap.add_argument("-R", "--robust", type=int, default=1)
     ap.add_argument("-i", "--input", default=None)
     ap.add_argument("-o", "--output", default=None)
@@ -116,7 +121,8 @@ def main(argv=None) -> int:
         from mercury_tpu.link.sim import ChannelModel, LinkSimulator
         cfg = ArqConfig(init_configuration=args.config,
                         gear_shift_on=bool(args.gearshift),
-                        robust_enabled=bool(args.robust))
+                        robust_enabled=bool(args.robust),
+                        turboshift=bool(args.turbo))
         cmd = ArqNode("VE3TPU", P.COMMANDER, cfg,
                       on_event=lambda e: print(f"  CMD: {e}"))
         rsp = ArqNode("N0CALL", P.RESPONDER, cfg,
@@ -133,7 +139,22 @@ def main(argv=None) -> int:
               f"({'OK' if got == payload else 'MISMATCH'}), "
               f"final config {cmd.current_configuration}, "
               f"{len(got) * 8 / max(t, 1e-9):.0f} bps effective")
-        return 0 if got == payload else 1
+        ok = got == payload
+        if ok and args.reverse_bytes:
+            # hand the link to the peer and pull data back (SWITCH_ROLE;
+            # with --turbo the new commander re-probes its own direction)
+            rev = bytes(np.random.default_rng(1)
+                        .integers(0, 256, args.reverse_bytes).astype(np.uint8))
+            rsp.send_data(rev)
+            cmd.switch_role()
+            t2 = sim.run(max_sim_s=3600,
+                         until=lambda: len(cmd.fifo_rx) >= len(rev))
+            back = cmd.received()
+            print(f"reverse {t2:.1f}s: {len(back)}/{len(rev)} bytes "
+                  f"({'OK' if back == rev else 'MISMATCH'}), "
+                  f"final config {rsp.current_configuration}")
+            ok = ok and back == rev
+        return 0 if ok else 1
 
     if args.mode == "ARQ":
         import time

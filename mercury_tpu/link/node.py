@@ -371,7 +371,10 @@ class ArqNode:
                     self._turbo_rendezvous = self.current_configuration
                     self._turbo_candidate = self._ladder_up()
                     self._turbo_stage = None
-                    self.on_event("TURBO START")
+                    if self._turbo_candidate == self._turbo_rendezvous:
+                        self._turbo_active = False   # already at ladder top
+                    else:
+                        self.on_event("TURBO START")
             elif code == P.SET_CONFIG and self._turbo_stage == "set":
                 # turbo probe: responder switched — test at the candidate
                 self._set_config(self._turbo_candidate)
@@ -437,6 +440,22 @@ class ArqNode:
                 self.role = self._pending_role
                 self._pending_role = None
                 self.on_event(f"ROLE {'COMMANDER' if self.role == P.COMMANDER else 'RESPONDER'}")
+                if (self.role == P.COMMANDER and self.cfg.turboshift
+                        and self.cfg.gear_shift_on):
+                    # reverse-direction probe: this node has never transmitted
+                    # data on the link, so the channel in its direction is
+                    # untested (HF paths are asymmetric) — probe the ladder
+                    # upward exactly like the post-connect turboshift
+                    # (reference: arq_commander.cc:1135-1167 runs whenever the
+                    # commander role is assumed, not only at connect)
+                    self._turbo_active = True
+                    self._turbo_rendezvous = self.current_configuration
+                    self._turbo_candidate = self._ladder_up()
+                    self._turbo_stage = None
+                    if self._turbo_candidate == self._turbo_rendezvous:
+                        self._turbo_active = False   # already at ladder top
+                    else:
+                        self.on_event("TURBO START")
             return out
 
         # responder-side turbo revert: commander fell back to the rendezvous

@@ -153,3 +153,29 @@ def test_wrong_callsign_no_connect():
     sim.run(max_sim_s=120)
     assert rsp.link_status == P.LISTENING
     assert cmd.link_status != P.CONNECTED
+
+
+def test_reverse_turboshift_after_switch_role():
+    """After SWITCH_ROLE the new commander probes the ladder in its own
+    (previously untested) direction before sending its queued data."""
+    cfg = ArqConfig(init_configuration=4, gear_shift_on=True,
+                    robust_enabled=False, batch_size=3, turboshift=True)
+    events = []
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg,
+                on_event=lambda e: events.append("B " + e))
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=16, seed=3))
+    fwd = bytes(np.random.default_rng(1).integers(0, 256, 200).astype(np.uint8))
+    rev = bytes(np.random.default_rng(2).integers(0, 256, 200).astype(np.uint8))
+    a.send_data(fwd)
+    b.send_data(rev)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=1200, until=lambda: len(b.fifo_rx) >= len(fwd))
+    assert b.received() == fwd
+    a.switch_role()
+    sim.run(max_sim_s=1800, until=lambda: len(a.fifo_rx) >= len(rev))
+    assert a.received() == rev
+    # the reverse direction probed upward from where the link sat
+    assert any("B TURBO START" in e for e in events)
+    assert b.current_configuration > 4
+    assert a.current_configuration == b.current_configuration
