@@ -25,7 +25,7 @@ import time
 
 REFERENCE_CPU_SAMPLES_PER_S = 1.77e6  # tools/golden_gen rxbench 9 10 (this host)
 CFG = 9            # QPSK 8/16 — mid-ladder workhorse mode
-BATCH = 32
+BATCH = 256        # past the dispatch-latency knee (throughput ~flat 128-256)
 REPS = 10
 TPU_TIMEOUT_S = 900
 

@@ -85,6 +85,78 @@ def fir_decimate_segment(seg: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
     return out[:, 0, :n_out]
 
 
+_toeplitz_cache: dict = {}
+
+
+def _fir_toeplitz(taps_key: bytes, taps: np.ndarray, stride: int,
+                  k_blk: int) -> np.ndarray:
+    """Banded Toeplitz operator T [W, K] with W = (K-1)*stride + ntaps
+    (rounded up to the lane width), T[i, k] = taps[ntaps-1 - (i - k*stride)]
+    where in range: a block of K decimated FIR outputs is then one matmul
+    `window @ T` instead of a 129-tap VPU loop — the FIR rides the MXU."""
+    key = (taps_key, stride, k_blk)
+    t = _toeplitz_cache.get(key)
+    if t is None:
+        ntaps = taps.shape[0]
+        w = (k_blk - 1) * stride + ntaps
+        w = -(-w // 128) * 128
+        t = np.zeros((w, k_blk), dtype=np.float32)
+        hr = taps[::-1].astype(np.float32)
+        for k in range(k_blk):
+            t[k * stride: k * stride + ntaps, k] = hr
+        _toeplitz_cache[key] = t
+    return t
+
+
+def _fir_decimate_valid_mm(y: jnp.ndarray, taps, stride: int,
+                           n_out: int, k_blk: int = 128) -> jnp.ndarray:
+    """out[m] = sum_u taps[ntaps-1-u] * y[m*stride + u] for m < n_out,
+    computed as blocked banded matmuls (MXU path). Real y only."""
+    taps_np = np.asarray(taps, dtype=np.float32)
+    t_op = _fir_toeplitz(taps_np.tobytes(), taps_np, stride, k_blk)
+    w = t_op.shape[0]
+    nb = -(-n_out // k_blk)
+    blk = k_blk * stride
+    halo = w - blk
+    need = nb * blk + max(halo, 0)
+    b = y.shape[0]
+    y = jnp.pad(y, [(0, 0), (0, max(need - y.shape[-1], 0))])[..., :need]
+    main = y[..., : nb * blk].reshape(b, nb, blk)
+    tail = jnp.concatenate(
+        [main[:, 1:, :halo],
+         y[..., nb * blk: nb * blk + halo][:, None, :]], axis=1)
+    win = jnp.concatenate([main, tail], axis=-1)          # [B, nb, W]
+    out = jnp.einsum("bci,ik->bck", win, jnp.asarray(t_op),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, nb * k_blk)[..., :n_out]
+
+
+def fir_decimate_mm(y: jnp.ndarray, taps, stride: int,
+                    n_out: int) -> jnp.ndarray:
+    """Complex/real wrapper over the MXU decimating FIR (VALID alignment:
+    y[k] corresponds to x[start - center + k], like fir_decimate_segment)."""
+    if jnp.iscomplexobj(y):
+        return (fir_decimate_mm(y.real, taps, stride, n_out)
+                + 1j * fir_decimate_mm(y.imag, taps, stride, n_out))
+    return _fir_decimate_valid_mm(y, taps, stride, n_out)
+
+
+def fir_same_strided_mm(x: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
+    """fir_same_strided computed via the blocked banded matmul — identical
+    values, MXU instead of VPU. Preferred on TPU backends."""
+    if jnp.iscomplexobj(x):
+        return (fir_same_strided_mm(x.real, taps, stride)
+                + 1j * fir_same_strided_mm(x.imag, taps, stride))
+    taps_np = np.asarray(taps)
+    ntaps = taps_np.shape[0]
+    center = (ntaps - 1) // 2
+    left = ntaps - 1 - center
+    n = x.shape[-1]
+    n_out = (n - 1) // stride + 1
+    y = jnp.pad(x, [(0, 0), (left, 0)])
+    return _fir_decimate_valid_mm(y, taps_np, stride, n_out)
+
+
 def linear_interp(x: jnp.ndarray, rate: int) -> jnp.ndarray:
     """Linear interpolation upsampler (reference rational_resampler
     INTERPOLATION, ofdm.cc:2278-2291); the final input sample is linearly

@@ -73,6 +73,7 @@ class RxChain:
         self.np_cdtype = np.complex128 if real_dtype == jnp.float64 else np.complex64
         g = geom
         self.code = load_code(g.spec.ldpc_rate_num)
+        self._osc_cache: dict = {}
         self._fir_ts = jnp.asarray(g.fir_rx_ts).astype(real_dtype)
         self._fir_data = jnp.asarray(g.fir_rx_data).astype(real_dtype)
         self._pad_map = jnp.asarray(g.pad_map)
@@ -102,6 +103,10 @@ class RxChain:
         self._mf_templates = np.asarray(
             tmpl.reshape(g.preamble_nsymb, g.nofdm * g.interp), self.np_cdtype)
 
+        # route the decimating FIRs through the banded-Toeplitz matmul on
+        # accelerator backends (MXU); the direct conv is faster on CPU
+        self._mxu_fir = jax.default_backend() != "cpu"
+
         ncheck = g.frame_bytes + 2
         a, c0 = crc_mod.crc_affine(ncheck)
         self._crc_a = jnp.asarray(a.astype(np.float32))
@@ -109,10 +114,28 @@ class RxChain:
         self._crc_nbits = ncheck * 8
 
     # ------------------------------------------------------------------
+    def _osc_const(self, n: int, t0: int = 0) -> np.ndarray:
+        """sqrt(2)*exp(+j*2*pi*fc/fs*(t0+i)) for i in [0, n): the f=0 mixer
+        oscillator is batch-invariant, so it is built once on the host (in
+        float64, better than the on-device float32 phase) and embedded as a
+        jit constant — the mixer becomes one vector multiply instead of
+        2n transcendentals per call."""
+        arr = self._osc_cache.get((n, t0))
+        if arr is None:
+            g = self.geom
+            t = t0 + np.arange(n, dtype=np.float64)
+            ph = (2 * np.pi * g.fc / g.fs) * t
+            arr = (np.sqrt(2.0) * (np.cos(ph) + 1j * np.sin(ph))
+                   ).astype(self.np_cdtype)
+            self._osc_cache[(n, t0)] = arr
+        return arr
+
     def mix(self, pb: jnp.ndarray, freq_offset=0.0) -> jnp.ndarray:
         """Passband [B, n] -> complex IQ at fc + freq_offset (no filtering)."""
         g = self.geom
         n = pb.shape[-1]
+        if isinstance(freq_offset, (int, float)) and freq_offset == 0.0:
+            return pb.astype(self.real_dtype) * self._osc_const(n)
         t = jnp.arange(n, dtype=self.real_dtype)
         f = jnp.asarray(freq_offset, dtype=self.real_dtype)
         f = jnp.reshape(f, (-1, 1)) if f.ndim else f
@@ -148,6 +171,35 @@ class RxChain:
             return jax.lax.dynamic_slice(row, (st,), (seg_len,))
 
         seg = jax.vmap(slice_one)(iq_pad, start)
+        return ops.fir_decimate_segment(seg, self._fir_data, g.interp)
+
+    def extract_frame_decimated_pb(self, pb: jnp.ndarray, delay: jnp.ndarray,
+                                   n_symb: int) -> jnp.ndarray:
+        """extract_frame_decimated fused with the f=0 mixer: slice the REAL
+        passband at per-row delay, multiply by the matching slice of the
+        precomputed oscillator constant, then run the polyphase decimating
+        data FIR. Identical values to mix(pb,0) -> extract_frame_decimated,
+        but the full-buffer complex IQ array is never materialized in HBM."""
+        g = self.geom
+        ntaps = self._fir_data.shape[0]
+        center = (ntaps - 1) // 2
+        frame_interp = g.nofdm * (n_symb + g.preamble_nsymb) * g.interp
+        seg_len = frame_interp + ntaps - 1
+        pb_pad = jnp.pad(pb.astype(self.real_dtype), [(0, 0), (center, ntaps)])
+        osc = jnp.asarray(self._osc_const(pb_pad.shape[-1], -center))
+        start = jnp.clip(delay.astype(jnp.int32), 0,
+                         pb_pad.shape[-1] - seg_len)
+
+        def slice_pb(row, st):
+            return jax.lax.dynamic_slice(row, (st,), (seg_len,))
+
+        seg_pb = jax.vmap(slice_pb)(pb_pad, start)
+        osc_seg = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(osc, (st,), (seg_len,)))(start)
+        seg = seg_pb * osc_seg
+        if self._mxu_fir:
+            return ops.fir_decimate_mm(seg, self._fir_data, g.interp,
+                                       frame_interp // g.interp)
         return ops.fir_decimate_segment(seg, self._fir_data, g.interp)
 
     # ------------------------------------------------------------------
@@ -283,18 +335,29 @@ class RxChain:
     # ------------------------------------------------------------------
     @functools.cached_property
     def receive_fn(self):
-        """The un-jitted receive program (for custom jit/sharding wrappers)."""
+        """The un-jitted receive program (for custom jit/sharding wrappers).
+
+        `stage` truncates the program for profiling ablations: "sync" stops
+        after the coarse Schmidl-Cox candidate search, "refine" after the
+        matched-filter delay arbitration, "hyp" after CFO-hypothesis
+        selection; "full" (default) runs the whole chain."""
         g = self.geom
 
-        def run(pb_buffer):
+        def run(pb_buffer, stage: str = "full"):
             b = pb_buffer.shape[0]
-            iq = self.mix(pb_buffer, 0.0)
-            # 1) coarse sync on a 2x-decimated time-sync-FIR baseband (the
-            # TS filter bandlimits far below the decimated Nyquist; the MF
-            # refinement below restores full-rate timing)
-            bb_ts2 = ops.fir_same_strided(iq, self._fir_ts, 2)
+            # 1) coarse sync on a base-rate time-sync-FIR baseband (the TS
+            # filter bandlimits far below the decimated Nyquist; the MF
+            # refinement below restores sub-GI timing). The full interp-rate
+            # IQ is never materialized: the f=0 mixer is a constant-vector
+            # multiply fused into the strided conv here and into the frame
+            # extraction below.
+            ts_dec = g.interp
+            fir_strided = (ops.fir_same_strided_mm if self._mxu_fir
+                           else ops.fir_same_strided)
+            bb_ts = fir_strided(self.mix(pb_buffer, 0.0),
+                                self._fir_ts, ts_dec)
             if g.spec.is_mfsk:
-                met = sync.mfsk_sync_metric(bb_ts2, g, decim=2)
+                met = sync.mfsk_sync_metric(bb_ts, g, decim=ts_dec)
                 sym_idx = jnp.argmax(met, axis=-1)
                 delay = (sym_idx * g.nofdm * g.interp).astype(jnp.int32)
                 metric = jnp.take_along_axis(met, sym_idx[:, None], axis=-1)[:, 0]
@@ -304,7 +367,7 @@ class RxChain:
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
                                 metric, mean_h)
 
-            met, cfo_arr = sync.schmidl_cox_metric(bb_ts2, g, decim=2)
+            met, cfo_arr = sync.schmidl_cox_metric(bb_ts, g, decim=ts_dec)
             # Top-K SC candidates with one-preamble-symbol suppression: the
             # normalized SC metric can score a *partial* preamble at a window
             # edge (or the next frame's first symbols) above the complete
@@ -313,12 +376,12 @@ class RxChain:
             # telecom_system.cc:805-924). The known-preamble matched filter
             # is immune, so it arbitrates among the SC candidates.
             n_k = 3 if self.cfo_range == "wide" else 2
-            sym_dec = (g.nofdm * g.interp) // 2
+            sym_dec = (g.nofdm * g.interp) // ts_dec
             met_work = met
             cand_list, cfo_list, metric_list = [], [], []
             for _k in range(n_k):
                 idx_k = jnp.argmax(met_work, axis=-1)
-                cand_list.append((idx_k * 2).astype(jnp.int32))
+                cand_list.append((idx_k * ts_dec).astype(jnp.int32))
                 metric_list.append(
                     jnp.take_along_axis(met, idx_k[:, None], axis=-1)[:, 0])
                 cfo_list.append(jnp.take_along_axis(
@@ -327,29 +390,49 @@ class RxChain:
                 suppress = jnp.abs(pos[None, :] - idx_k[:, None]) < sym_dec
                 met_work = jnp.where(suppress, -1.0, met_work)
             metric = metric_list[0]
+            if stage == "sync":
+                return cand_list, cfo_list, metric
 
-            # matched-filter arbitration over (candidate x CFO-alias):
-            # full-rate TS filtering only over each refinement segment
+            # matched-filter arbitration over (candidate x CFO-alias), run on
+            # the base-rate TS baseband already computed for the coarse sync:
+            # the TS FIR bandlimits far below the decimated Nyquist, so the
+            # only loss is timing resolution — the MF delay quantizes to
+            # `interp` samples, absorbed by the guard interval exactly like
+            # the reference's deliberately-early fine sync. Versus a
+            # full-rate MF this cuts the FFT-correlation work ~16x and skips
+            # the per-candidate re-filtering entirely.
             window = 2 * g.nofdm * g.interp
             lp, s_tmpl = self._mf_templates.shape
-            ntaps = self._fir_ts.shape[0]
-            center = (ntaps - 1) // 2
-            seg_core = 2 * window + lp * s_tmpl
-            n_iq = iq.shape[-1]
-            # pad so edge windows stay filter-aligned (see extract_frame_decimated)
-            iq_pad = jnp.pad(iq, [(0, 0), (center, ntaps)])
+            # MF lag = mf_d interp samples. The TS FIR's stopband edge is
+            # ~2.5 kHz (cut 0.9*bw/2 + 3 kHz transition), so a 2*interp
+            # decimation (3 kHz Nyquist at fs=48k) still holds the whole
+            # filtered spectrum; delay quantization stays far inside the GI.
+            mf_d = 2 * ts_dec if s_tmpl % (2 * ts_dec) == 0 else ts_dec
+            mf_s = mf_d // ts_dec                 # stride within bb_ts
+            win_d = window // mf_d
+            s_d = s_tmpl // mf_d
+            seg_d_len = 2 * win_d + lp * s_d
+            n_ts = bb_ts.shape[-1]
+            seg_core = seg_d_len * mf_d
+            max_start = (n_ts * ts_dec - seg_core) // mf_d * mf_d
+            tmpl_d = np.ascontiguousarray(self._mf_templates[:, ::mf_d])
             alias = self.real_dtype(g.fs / ((g.nfft // 2) * g.interp))
 
-            def slice_one(row, st):
-                return jax.lax.dynamic_slice(row, (st,), (seg_core + ntaps - 1,))
+            def slice_one(row, st_ts):
+                return jax.lax.dynamic_slice(row, (st_ts,),
+                                             (seg_d_len * mf_s,))
 
-            all_delays, all_scores, all_cfos = [], [], []
+            # build all (candidate x alias) rotated segments, then run ONE
+            # batched FFT correlation — fewer, larger FFT ops
+            seg_rows, start_rows, cfo_rows = [], [], []
             for k in range(n_k):
                 coarse = cand_list[k]
                 coarse_cfo_k = cfo_list[k]
-                seg_start = jnp.clip(coarse - window, 0, max(n_iq - seg_core, 0))
-                iq_seg = jax.vmap(slice_one)(iq_pad, seg_start)
-                bb_seg = ops.fir_same(iq_seg, self._fir_ts)[..., center: center + seg_core]
+                # segment start in interp samples, aligned to the MF grid
+                seg_start = (jnp.clip(coarse - window, 0, max(max_start, 0))
+                             // mf_d) * mf_d
+                seg_d = jax.vmap(slice_one)(bb_ts,
+                                            seg_start // ts_dec)[..., ::mf_s]
                 # SC lag-phase CFO is ambiguous modulo 93.75 Hz; pre-rotate
                 # the 23 ms-coherent MF at the alias hypotheses
                 if self.cfo_range == "wide":
@@ -359,19 +442,22 @@ class RxChain:
                     cfo_h = coarse_cfo_k[None]
                 n_alias = cfo_h.shape[0]
                 t_seg = (seg_start[None, :, None].astype(self.real_dtype)
-                         + jnp.arange(seg_core, dtype=self.real_dtype))
+                         + jnp.arange(seg_d_len, dtype=self.real_dtype) * mf_d)
                 rot_seg = jnp.exp(1j * (2 * np.pi / g.fs)
                                   * cfo_h[:, :, None] * t_seg).astype(self.cdtype)
-                seg3 = (bb_seg[None] * rot_seg).reshape(n_alias * b, seg_core)
-                start3 = jnp.tile(seg_start, n_alias)
-                delay3, score3 = sync.matched_filter_refine_seg(
-                    seg3, start3, self._mf_templates, window)
-                all_delays.append(delay3.reshape(n_alias, b))
-                all_scores.append(score3.reshape(n_alias, b))
-                all_cfos.append(cfo_h)
-            scores = jnp.concatenate(all_scores, axis=0)        # [K*A, B]
-            delays = jnp.concatenate(all_delays, axis=0)
-            cfos = jnp.concatenate(all_cfos, axis=0)
+                seg_rows.append(seg_d[None] * rot_seg)   # [A, B, L]
+                start_rows.append(jnp.broadcast_to(
+                    (seg_start // mf_d)[None], (n_alias, b)))
+                cfo_rows.append(cfo_h)
+            seg_all = jnp.concatenate(seg_rows, axis=0)          # [K*A, B, L]
+            start_all = jnp.concatenate(start_rows, axis=0)
+            n_rows = seg_all.shape[0]
+            delay_f, score_f = sync.matched_filter_refine_seg(
+                seg_all.reshape(n_rows * b, seg_d_len),
+                start_all.reshape(n_rows * b), tmpl_d, win_d)
+            delays = delay_f.reshape(n_rows, b) * mf_d          # [K*A, B]
+            scores = score_f.reshape(n_rows, b)
+            cfos = jnp.concatenate(cfo_rows, axis=0)
             pick_a = jnp.argmax(scores, axis=0)                 # [B]
             delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
             coarse_cfo = jnp.take_along_axis(cfos, pick_a[None], axis=0)[0]
@@ -383,10 +469,14 @@ class RxChain:
             max_delay = (g.nofdm * g.buffer_nsymb - g.nofdm *
                          (g.nsymb + g.preamble_nsymb)) * g.interp
             delay = jnp.clip(delay, 0, max_delay)
+            if stage == "refine":
+                return delay, coarse_cfo, metric
 
-            # 2) polyphase data FIR over the frame segment only; Moose CFO
-            #    measured on the coarse-corrected frame -> total f0
-            dec0 = self.extract_frame_decimated(iq, delay, self.active_nsymb)
+            # 2) polyphase data FIR over the frame segment only (mixer fused
+            #    into the slice); Moose CFO measured on the coarse-corrected
+            #    frame -> total f0
+            dec0 = self.extract_frame_decimated_pb(pb_buffer, delay,
+                                                   self.active_nsymb)
             t_dec = (delay[:, None].astype(self.real_dtype)
                      + jnp.arange(dec0.shape[-1], dtype=self.real_dtype) * g.interp)
             rot_c = jnp.exp(1j * (2 * np.pi / g.fs)
@@ -440,6 +530,8 @@ class RxChain:
             var_full = jnp.take_along_axis(
                 jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
             freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None], axis=0)[0]
+            if stage == "hyp":
+                return eq, variance, freq
 
             data = jnp.take(eq, self._data_cells, axis=-1)
             data = jnp.take(data, self._tf_iperm, axis=-1)
@@ -459,7 +551,7 @@ class RxChain:
 
     @functools.cached_property
     def _receive_jit(self):
-        return jax.jit(self.receive_fn)
+        return jax.jit(self.receive_fn, static_argnames=("stage",))
 
     @functools.cached_property
     def decode_at_jit(self):
