@@ -164,6 +164,8 @@ class ArqNode:
         assert self.role == P.COMMANDER
         self.destination_call_sign = destination.upper()
         self.link_status = P.CONNECTING
+        self._tx_off = 0                 # fresh stream
+        self._resume_connect = False
 
     # ------------------------------------------------------------------
     # modulation helpers
@@ -261,11 +263,14 @@ class ArqNode:
         msg = P.deserialize(payload, self.max_data_length)
         if msg is None:
             return
+        # ANY decoded frame from the peer refreshes the link timer — without
+        # this, a long control-only phase (turboshift climb, gearshift
+        # negotiation) trips the 30 s supervision timeout mid-session
+        self._last_peer_activity = now
         if msg.type in (P.DATA_LONG, P.DATA_SHORT):
             if self.link_status == P.CONNECTED:
                 self._rx_msgs[msg.id] = msg
                 self.stats.received_data += 1
-                self._last_peer_activity = now
                 # a fresh/resent block invalidates the repeatable last ACK
                 self._had_acked_block = False
         elif msg.type == P.CONTROL:
@@ -274,29 +279,47 @@ class ArqNode:
     def _on_control(self, msg: P.Message, now: float) -> None:
         code = msg.data[0]
         if code == P.START_CONNECTION and self.role == P.RESPONDER \
-                and self.link_status in (P.LISTENING, P.CONNECTION_RECEIVED):
+                and self.link_status in (P.LISTENING, P.CONNECTION_RECEIVED,
+                                         P.CONNECTED):
+            # CONNECTED case: the commander timed out and is re-connecting
+            # (reference link-timeout auto-reconnect) — re-sync instead of
+            # ignoring it, or the two ends deadlock until our own timeout
             if msg.data[1] == P.crc8(self.call_sign.encode()):
                 self.destination_call_sign = P.callsign_unpack(msg.data[2:7])
+                self._rx_msgs.clear()
+                self._had_acked_block = False
+                if msg.sequence == 0:      # fresh session (not a reconnect)
+                    self._rx_off = 0
                 self.link_status = P.CONNECTED
+                self._last_peer_activity = now
                 self.on_event(f"CONNECTED {self.destination_call_sign}")
                 self._queue_pattern_ack(now)
         elif code == P.BLOCK_END and self.role == P.RESPONDER \
                 and self.link_status == P.CONNECTED:
             expected = msg.data[1]
-            seq = msg.data[2] if len(msg.data) > 2 else 0
-            if seq == getattr(self, "_last_block_seq", -1):
-                # retransmit of an already-delivered block (our ACK was lost):
-                # re-ACK but do NOT deliver again (no duplication)
+            off = int.from_bytes(msg.data[2:6], "little") \
+                if len(msg.data) >= 6 else 0
+            if len(self._rx_msgs) == expected and expected > 0:
+                # Dedupe by STREAM BYTE OFFSET, not sequence number: an
+                # offset survives resends, link-timeout reconnects, and
+                # config changes that reframe the same bytes — a sequence
+                # number does not (a requeued block gets a new seq, so a
+                # delivered-but-unACKed block would be delivered twice).
+                blob = b"".join(self._rx_msgs[mid].data[: self._rx_msgs[mid].length]
+                                for mid in sorted(self._rx_msgs))
+                rx_off = getattr(self, "_rx_off", 0)
+                end = off + len(blob)
+                if end <= rx_off:
+                    pass                      # pure duplicate: re-ACK only
+                elif off <= rx_off:
+                    self.fifo_rx.extend(blob[rx_off - off:])  # new tail only
+                    self._rx_off = end
+                else:
+                    # offset gap: we are a fresh responder joining a resumed
+                    # stream — accept from here
+                    self.fifo_rx.extend(blob)
+                    self._rx_off = end
                 self._rx_msgs.clear()
-                self._had_acked_block = True
-                self._queue_pattern_ack(now)
-            elif len(self._rx_msgs) == expected and expected > 0:
-                # deliver in id order, then ACK
-                for mid in sorted(self._rx_msgs):
-                    m = self._rx_msgs[mid]
-                    self.fifo_rx.extend(m.data[: m.length])
-                self._rx_msgs.clear()
-                self._last_block_seq = seq
                 self._had_acked_block = True
                 self._queue_pattern_ack(now)
             else:
@@ -351,6 +374,20 @@ class ArqNode:
         self._await_ack_kind = None
         self._last_peer_activity = now
         if kind == "data":
+            if getattr(self, "_tried_repeat", False):
+                # ambiguous: the pattern answers our REPEAT_LAST_ACK, which
+                # re-ACKs the last block the responder DELIVERED — if our
+                # current block was lost entirely, that is the PREVIOUS
+                # block, and treating it as an ACK would silently drop data.
+                # Resend the current block under the same sequence number:
+                # the responder dedupes it if it did deliver it.
+                # (emergency_nacks is NOT reset: if the data path stays dead
+                # while ACKs get through, the BREAK ladder still escalates.)
+                self._tried_repeat = False
+                self._resends_left = self.cfg.n_resends
+                return
+            self._tx_off = (getattr(self, "_block_off", 0)
+                            + sum(m.length for m in self._block_msgs))
             for m in self._block_msgs:
                 m.status = P.ACKED
                 self.stats.acked_data += 1
@@ -397,6 +434,7 @@ class ArqNode:
                 self.consecutive_data_acks = 0
             elif code == P.SWITCH_ROLE:
                 self.role = P.RESPONDER
+                self._rx_off = 0          # peer starts a fresh TX stream
                 self.on_event("ROLE RESPONDER")
             elif code == P.CLOSE_CONNECTION:
                 self.link_status = P.IDLE
@@ -439,6 +477,8 @@ class ArqNode:
             if getattr(self, "_pending_role", None) is not None:
                 self.role = self._pending_role
                 self._pending_role = None
+                if self.role == P.COMMANDER:
+                    self._tx_off = 0      # our TX stream starts fresh
                 self.on_event(f"ROLE {'COMMANDER' if self.role == P.COMMANDER else 'RESPONDER'}")
                 if (self.role == P.COMMANDER and self.cfg.turboshift
                         and self.cfg.gear_shift_on):
@@ -473,10 +513,31 @@ class ArqNode:
                 self._last_peer_activity = last = now
             if now - last > self.cfg.link_timeout_ms:
                 if self.role == P.RESPONDER:
+                    # back to listening at the initial config so a
+                    # re-connecting commander can reach us
                     self.link_status = P.LISTENING
+                    self._rx_msgs.clear()
+                    self._had_acked_block = False
+                    self._set_config(self.cfg.init_configuration)
+                    self.on_event("LINK TIMEOUT")
                 else:
-                    self.link_status = P.DROPPED
-                self.on_event("LINK TIMEOUT")
+                    # reference behavior (arq_common.cc:1216-1260): the
+                    # commander auto-reconnects at the initial configuration;
+                    # un-ACKed data goes back to the TX FIFO
+                    self._requeue_block()
+                    self._await_ack_kind = None
+                    self._pending_control = None
+                    self._gear_pending = None
+                    self._turbo_active = False
+                    self._turbo_stage = None
+                    self._tried_repeat = False
+                    self.emergency_nacks = 0
+                    self._resends_left = self.cfg.n_resends
+                    self._set_config(self.cfg.init_configuration)
+                    self.link_status = P.CONNECTING
+                    self._resume_connect = True   # keep stream offsets
+                    self._last_peer_activity = now
+                    self.on_event("LINK TIMEOUT - RECONNECTING")
                 return out
 
         if self.role != P.COMMANDER:
@@ -533,8 +594,12 @@ class ArqNode:
             data = bytes([P.START_CONNECTION,
                           P.crc8(self.destination_call_sign.encode())]) \
                 + P.callsign_pack(self.call_sign)
-            self._pending_control = P.Message(type=P.CONTROL, length=len(data),
-                                              data=data)
+            # the CONTROL header's (otherwise unused) sequence byte carries
+            # the resume flag: 1 = link-timeout reconnect, keep stream
+            # offsets; 0 = fresh session, responder resets its RX offset
+            self._pending_control = P.Message(
+                type=P.CONTROL, length=len(data), data=data,
+                sequence=1 if getattr(self, "_resume_connect", False) else 0)
 
         # turboshift probe driver
         if (self.link_status == P.CONNECTED and self._turbo_active
@@ -586,16 +651,18 @@ class ArqNode:
         if self._block_msgs or self.fifo_tx:
             if not self._block_msgs:
                 self._assemble_block()
-                self._block_seq = (getattr(self, "_block_seq", 0) + 1) & 0xFF
             batch = list(self._block_msgs)
             count = len(batch)
-            # BLOCK_END carries the message count and a block sequence number
-            # so the responder can dedupe a retransmit of a block whose ACK
-            # was lost (extension over the reference, which can deliver
-            # duplicates in that scenario)
-            batch.append(P.Message(type=P.CONTROL, length=3,
-                                   data=bytes([P.BLOCK_END, count,
-                                               self._block_seq])))
+            # BLOCK_END carries the message count and the block's byte
+            # offset in the TX stream so the responder can exactly dedupe a
+            # retransmit of a block whose ACK was lost — even across
+            # reconnects and config changes that reframe the bytes
+            # (extension over the reference, which can deliver duplicates in
+            # that scenario)
+            batch.append(P.Message(
+                type=P.CONTROL, length=6,
+                data=bytes([P.BLOCK_END, count])
+                + int(self._block_off).to_bytes(4, "little")))
             out.append(self._modulate_batch(batch))
             self.stats.sent_data += count
             self.stats.blocks_sent += 1
@@ -605,6 +672,9 @@ class ArqNode:
         return out
 
     def _assemble_block(self) -> None:
+        # stream offset of this block's first byte: fifo_tx[0] always sits at
+        # _tx_off (ACKed bytes advance it; requeued bytes return to the front)
+        self._block_off = getattr(self, "_tx_off", 0)
         self._block_msgs = []
         mid = 0
         while self.fifo_tx and mid < self.cfg.batch_size:

