@@ -28,15 +28,21 @@ def main(argv=None) -> int:
                              "SIM", "LIST", "BENCH", "TX_SHM", "RX_SHM"])
     ap.add_argument("--shm", default="/mercury-tpu-comm",
                     help="shared-memory ring name for TX_SHM/RX_SHM")
-    ap.add_argument("-s", "--config", type=int, default=0)
-    ap.add_argument("-p", "--port", type=int, default=7002)
-    ap.add_argument("-g", "--gearshift", type=int, default=1)
-    ap.add_argument("--turbo", action="store_true",
-                    help="SIM: turboshift ladder probe after connect")
+    ap.add_argument("-c", "--ini", default=None,
+                    help="settings INI path (default: ./mercury-tpu.ini or "
+                         "~/.config/mercury-tpu/mercury-tpu.ini); precedence "
+                         "CLI > INI > compiled defaults, like the reference")
+    ap.add_argument("--write-ini", default=None, metavar="PATH",
+                    help="write the effective settings to an INI file and exit")
+    ap.add_argument("-s", "--config", type=int, default=None)
+    ap.add_argument("-p", "--port", type=int, default=None)
+    ap.add_argument("-g", "--gearshift", type=int, default=None)
+    ap.add_argument("--turbo", action="store_true", default=None,
+                    help="SIM/ARQ: turboshift ladder probe after connect")
     ap.add_argument("--reverse-bytes", type=int, default=0,
                     help="SIM: after forward transfer, SWITCH_ROLE and pull "
                          "this many bytes back")
-    ap.add_argument("-R", "--robust", type=int, default=1)
+    ap.add_argument("-R", "--robust", type=int, default=None)
     ap.add_argument("-i", "--input", default=None)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--esn0", type=float, default=10.0)
@@ -49,6 +55,32 @@ def main(argv=None) -> int:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    # three config tiers, reference precedence (main.cc:354-403,547-601):
+    # compiled defaults < INI file < explicit CLI flags
+    from mercury_tpu.core.settings import Settings
+    ini = Settings.load(args.ini)
+    if args.config is None:
+        args.config = ini.initial_config
+    if args.port is None:
+        args.port = ini.control_port
+    if args.gearshift is None:
+        args.gearshift = int(ini.gear_shift)
+    if args.robust is None:
+        args.robust = int(ini.robust_mode)
+    if args.turbo is None:
+        args.turbo = ini.turboshift
+    ini.initial_config = args.config
+    ini.control_port = args.port
+    ini.data_port = args.port + 1
+    ini.gear_shift = bool(args.gearshift)
+    ini.robust_mode = bool(args.robust)
+    ini.turboshift = bool(args.turbo)
+
+    if args.write_ini:
+        ini.save(args.write_ini)
+        print(f"wrote {args.write_ini}")
+        return 0
 
     if args.mode == "LIST":
         from mercury_tpu.core.modes import MODES
@@ -123,11 +155,12 @@ def main(argv=None) -> int:
                         gear_shift_on=bool(args.gearshift),
                         robust_enabled=bool(args.robust),
                         turboshift=bool(args.turbo))
-        cmd = ArqNode("VE3TPU", P.COMMANDER, cfg,
-                      on_event=lambda e: print(f"  CMD: {e}"))
-        rsp = ArqNode("N0CALL", P.RESPONDER, cfg,
-                      on_event=lambda e: print(f"  RSP: {e}"))
+        cmd = ArqNode("VE3TPU", P.COMMANDER, cfg)
+        rsp = ArqNode("N0CALL", P.RESPONDER, cfg)
         sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=args.snr))
+        # timestamped event log (parseable by tools/analyze_link_log.py)
+        cmd.on_event = lambda e: print(f"{sim.now / 1000:9.2f} CMD: {e}")
+        rsp.on_event = lambda e: print(f"{sim.now / 1000:9.2f} RSP: {e}")
         payload = bytes(np.random.default_rng(0).integers(0, 256, args.bytes)
                         .astype(np.uint8))
         cmd.send_data(payload)
@@ -159,7 +192,8 @@ def main(argv=None) -> int:
     if args.mode == "ARQ":
         import time
         from mercury_tpu.link.tcp_api import ArqTcpServer
-        srv = ArqTcpServer(base_port=args.port)
+        srv = ArqTcpServer(base_port=args.port, config=ini.arq_config())
+        srv.node.call_sign = ini.my_callsign
         srv.start()
         print(f"ARQ service on control port {args.port}, data port {args.port + 1}")
         try:

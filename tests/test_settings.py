@@ -1,0 +1,59 @@
+"""INI settings tier (reference mercury.ini / ini_parser.cc parity)."""
+
+import subprocess
+import sys
+
+from mercury_tpu.core.settings import Settings
+
+
+def test_defaults_without_file(tmp_path):
+    s = Settings.load(str(tmp_path / "missing.ini"))
+    assert s.loaded_from is None
+    assert s.control_port == 7002 and s.gear_shift and s.initial_config == 0
+
+
+def test_roundtrip(tmp_path):
+    p = str(tmp_path / "m.ini")
+    s = Settings()
+    s.my_callsign = "VE3TPU"
+    s.initial_config = 9
+    s.gear_shift = False
+    s.link_timeout_ms = 45000
+    s.save(p)
+    t = Settings.load(p)
+    assert t.loaded_from == p
+    assert t.my_callsign == "VE3TPU" and t.initial_config == 9
+    assert t.gear_shift is False and t.link_timeout_ms == 45000
+
+
+def test_partial_file_falls_through(tmp_path):
+    p = tmp_path / "m.ini"
+    p.write_text("[ARQ]\nInitialConfig = 7\n")
+    s = Settings.load(str(p))
+    assert s.initial_config == 7
+    assert s.control_port == 7002          # untouched tier-1 default
+
+
+def test_arq_config_mapping():
+    s = Settings()
+    s.initial_config = 3
+    s.robust_mode = False
+    s.batch_size = 2
+    cfg = s.arq_config()
+    assert cfg.init_configuration == 3
+    assert cfg.robust_enabled is False and cfg.batch_size == 2
+
+
+def test_cli_precedence_over_ini(tmp_path):
+    """CLI -s overrides INI InitialConfig; INI overrides the compiled
+    default (reference: main.cc:354-403)."""
+    ini = tmp_path / "m.ini"
+    ini.write_text("[ARQ]\nInitialConfig = 7\nGearShift = false\n")
+    out = tmp_path / "eff.ini"
+    subprocess.run(
+        [sys.executable, "-m", "mercury_tpu", "-m", "LIST", "--cpu",
+         "-c", str(ini), "-s", "11", "--write-ini", str(out)],
+        check=True, capture_output=True, cwd="/root/repo")
+    eff = Settings.load(str(out))
+    assert eff.initial_config == 11        # CLI wins
+    assert eff.gear_shift is False         # INI wins over default (true)
