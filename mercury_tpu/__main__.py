@@ -25,7 +25,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mercury_tpu", description=__doc__)
     ap.add_argument("-m", "--mode", default="LIST",
                     choices=["ARQ", "BER", "SWEEP", "TX_TEST", "RX_TEST",
-                             "SIM", "LIST", "BENCH", "TX_SHM", "RX_SHM"])
+                             "SIM", "LIST", "BENCH", "TX_SHM", "RX_SHM",
+                             "MONITOR"])
     ap.add_argument("--shm", default="/mercury-tpu-comm",
                     help="shared-memory ring name for TX_SHM/RX_SHM")
     ap.add_argument("-c", "--ini", default=None,
@@ -260,6 +261,42 @@ def main(argv=None) -> int:
             pass
         finally:
             ring.close()
+        return 0
+
+    if args.mode == "MONITOR":
+        # terminal dashboard over a sample stream (the ImGui GUI stand-in):
+        # replays -i file.f32 in buffer-sized chunks, decoding and rendering
+        # waterfall / constellation / readouts per chunk
+        from mercury_tpu.core.geometry import build_geometry
+        from mercury_tpu.dashboard import Dashboard, level_dbfs
+        from mercury_tpu.modem.rx import RxChain
+
+        g = build_geometry(args.config)
+        rx = RxChain(g)
+        dash = Dashboard(color=sys.stdout.isatty())
+        stream = np.fromfile(args.input, dtype=np.float32)
+        buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        pos = 0
+        while pos < len(stream):
+            win = np.zeros(buf_len, np.float32)
+            n = min(buf_len, len(stream) - pos)
+            win[:n] = stream[pos: pos + n]
+            res = rx.receive(win[None])
+            ok = bool(np.asarray(res.crc_ok)[0])
+            state = {"config": args.config,
+                     "link_status": "DECODED" if ok else "SEARCHING",
+                     "snr_db": float(np.asarray(res.snr_db)[0]),
+                     "cfo_hz": float(np.asarray(res.freq_offset)[0]),
+                     "rx_level_dbfs": level_dbfs(win)}
+            const = None
+            if ok and not g.spec.is_mfsk:
+                from mercury_tpu.obs import rx_diagnostics
+                const = rx_diagnostics(rx, win).get("constellation")
+            dash.update_samples(win)
+            if sys.stdout.isatty():
+                sys.stdout.write(dash.clear_screen())
+            print(dash.frame(state, const))
+            pos += buf_len
         return 0
 
     if args.mode == "BENCH":

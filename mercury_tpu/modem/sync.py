@@ -166,6 +166,64 @@ def matched_filter_refine_seg(seg: jnp.ndarray, start: jnp.ndarray,
     return delay.astype(jnp.int32), jnp.take_along_axis(score, best[:, None], axis=-1)[:, 0] / lp
 
 
+def gi_time_sync_metric(bb: jnp.ndarray, geom: ModeGeometry,
+                        decim: int = 1,
+                        ts_nsymb: int | None = None) -> jnp.ndarray:
+    """Legacy guard-interval time sync (reference cl_ofdm::time_sync,
+    ofdm.cc:1659-1733): for every candidate offset, correlate each of the
+    first `ts_nsymb` symbols' GI against its cyclic copy Nfft later,
+    normalized by the window energies. The reference's O(size x Nsymb x Ngi)
+    loop collapses into cumulative-sum comb algebra (same trick as the
+    Schmidl-Cox metric above). Returns metric [B, n_cand]; candidate i is
+    interp-rate offset i*decim.
+    """
+    r = geom.interp // decim
+    assert r * decim == geom.interp
+    nfft_r, ngi_r = geom.nfft * r, geom.ngi * r
+    s = nfft_r + ngi_r
+    # reference default: time_sync_Nsymb = Nsymb (telecom_system.cc:2913-2915)
+    lp = ts_nsymb if ts_nsymb is not None else geom.nsymb
+    n = bb.shape[-1]
+    # candidates whose every correlation window lies inside the buffer (the
+    # reference's i < size-S loop quietly reads past `size`; we don't)
+    n_cand = max(n - nfft_r - (lp - 1) * s - ngi_r, 1)
+
+    # Re(a * conj(b)) at lag Nfft == the reference's re*re + im*im sum
+    p = jnp.real(bb[..., :-nfft_r] * jnp.conj(bb[..., nfft_r:]))
+    e = jnp.real(bb) ** 2 + jnp.imag(bb) ** 2
+
+    zero = jnp.zeros_like(p[..., :1])
+    cp = jnp.concatenate([zero, jnp.cumsum(p, axis=-1)], axis=-1)
+    ce = jnp.concatenate([zero, jnp.cumsum(e, axis=-1)], axis=-1)
+
+    c = _comb(cp, lp, s, n_cand + ngi_r)
+    ca = _comb(ce, lp, s, n_cand + ngi_r)
+    cb = _comb(ce[..., nfft_r:], lp, s, n_cand + ngi_r)
+    corr = c[..., ngi_r:] - c[..., :n_cand]
+    norm_a = ca[..., ngi_r:] - ca[..., :n_cand]
+    norm_b = cb[..., ngi_r:] - cb[..., :n_cand]
+    return corr / jnp.sqrt(jnp.maximum(norm_a * norm_b, 1e-30))
+
+
+def gi_symbol_sync_metric(frame_bb: jnp.ndarray,
+                          geom: ModeGeometry) -> jnp.ndarray:
+    """Legacy per-symbol sync-quality metric (reference cl_ofdm::symbol_sync,
+    ofdm.cc:2188-2266): for each OFDM symbol of a frame-aligned baseband,
+    |normalized correlation| between the half-symbol windows at the symbol
+    start and +Nfft/2. Returns metric [B, Nsymb] (argsort for the
+    reference's location_to_return ranking)."""
+    nofdm, half = geom.nofdm, geom.nfft // 2
+    nsymb = frame_bb.shape[-1] // nofdm
+    sym = frame_bb[..., : nsymb * nofdm].reshape(*frame_bb.shape[:-1],
+                                                 nsymb, nofdm)
+    a = sym[..., :half]
+    b = sym[..., half: 2 * half]
+    corr = jnp.sum(jnp.real(a * jnp.conj(b)), axis=-1)
+    norm_a = jnp.sum(jnp.abs(a) ** 2, axis=-1)
+    norm_b = jnp.sum(jnp.abs(b) ** 2, axis=-1)
+    return jnp.abs(corr) / jnp.sqrt(jnp.maximum(norm_a * norm_b, 1e-30))
+
+
 def moose_cfo(frame_decim: jnp.ndarray, geom: ModeGeometry) -> jnp.ndarray:
     """Fine fractional CFO from preamble half-symbol repetition
     (reference: carrier_sampling_frequency_sync, ofdm.cc:540-595).

@@ -1,0 +1,46 @@
+"""Terminal dashboard (ImGui GUI stand-in): pure render-function checks."""
+
+import numpy as np
+
+from mercury_tpu.dashboard import (Dashboard, level_dbfs, render_constellation,
+                                   render_vu, render_waterfall)
+
+
+def test_waterfall_render_shapes():
+    spec = np.random.default_rng(0).uniform(-80, -20, (30, 257))
+    lines = render_waterfall(spec, width=40, height=10, color=False)
+    assert len(lines) == 10 and all(len(l) == 40 for l in lines)
+    colored = render_waterfall(spec, width=8, height=2, color=True)
+    assert all(l.endswith("\x1b[0m") for l in colored)
+
+
+def test_waterfall_empty():
+    lines = render_waterfall(np.zeros((0, 257)), width=16, height=4)
+    assert len(lines) == 4
+
+
+def test_constellation_marks_points():
+    pts = np.array([1 + 0j, -1 + 0j, 0 + 1j, 0 - 1j, 1 + 0j])
+    lines = render_constellation(pts, size=17)
+    assert len(lines) == 17
+    joined = "\n".join(lines)
+    assert "o" in joined or "@" in joined   # repeated point upgraded
+
+
+def test_vu_and_level():
+    assert render_vu(0.0).count("#") == 30
+    assert render_vu(-60.0).count("#") == 0
+    x = np.full(1000, 1.0, np.float32)
+    assert abs(level_dbfs(x)) < 0.1
+
+
+def test_dashboard_frame_composes():
+    d = Dashboard(width=32, color=False)
+    d.update_samples(np.random.default_rng(1).standard_normal(48000)
+                     .astype(np.float32))
+    out = d.frame({"config": 9, "link_status": "CONNECTED", "snr_db": 12.3,
+                   "cfo_hz": -1.5, "buffer_tx": 42, "throughput_bps": 950.0,
+                   "rx_level_dbfs": -12.0, "ptt": True},
+                  constellation=np.array([0.7 + 0.7j, -0.7 - 0.7j]))
+    assert "cfg=  9" in out and "CONNECTED" in out and "PTT" in out
+    assert "waterfall" in out and "constellation" in out
