@@ -121,11 +121,18 @@ def _fir_decimate_valid_mm(y: jnp.ndarray, taps, stride: int,
     need = nb * blk + max(halo, 0)
     b = y.shape[0]
     y = jnp.pad(y, [(0, 0), (0, max(need - y.shape[-1], 0))])[..., :need]
-    main = y[..., : nb * blk].reshape(b, nb, blk)
-    tail = jnp.concatenate(
-        [main[:, 1:, :halo],
-         y[..., nb * blk: nb * blk + halo][:, None, :]], axis=1)
-    win = jnp.concatenate([main, tail], axis=-1)          # [B, nb, W]
+    if halo <= blk:
+        main = y[..., : nb * blk].reshape(b, nb, blk)
+        tail = jnp.concatenate(
+            [main[:, 1:, :halo],
+             y[..., nb * blk: nb * blk + halo][:, None, :]], axis=1)
+        win = jnp.concatenate([main, tail], axis=-1)      # [B, nb, W]
+    else:
+        # window wider than the block stride (short taps / stride 1):
+        # build the [nb, W] windows with one gather
+        idx = (np.arange(nb)[:, None] * blk
+               + np.arange(w)[None, :]).astype(np.int32)
+        win = y[:, jnp.asarray(idx)]                      # [B, nb, W]
     out = jnp.einsum("bci,ik->bck", win, jnp.asarray(t_op),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, nb * k_blk)[..., :n_out]
@@ -155,6 +162,26 @@ def fir_same_strided_mm(x: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
     n_out = (n - 1) // stride + 1
     y = jnp.pad(x, [(0, 0), (left, 0)])
     return _fir_decimate_valid_mm(y, taps_np, stride, n_out)
+
+
+def box_sum_valid(x: jnp.ndarray, length: int, n_out: int,
+                  use_mm: bool = True) -> jnp.ndarray:
+    """Sliding-window sums S[j] = sum_{k<length} x[..., j+k] for j < n_out.
+
+    use_mm routes through the banded-Toeplitz matmul (MXU path — preferred on
+    TPU); otherwise a prefix-sum difference (faster on CPU, but subject to
+    float32 cancellation on long buffers). Complex x is handled as two real
+    passes.
+    """
+    if jnp.iscomplexobj(x):
+        return (box_sum_valid(x.real, length, n_out, use_mm)
+                + 1j * box_sum_valid(x.imag, length, n_out, use_mm))
+    if use_mm and x.dtype != jnp.float64:   # the matmul path is f32-only
+        ones = np.ones(length, dtype=np.float32)
+        return _fir_decimate_valid_mm(x, ones, 1, n_out, k_blk=256)
+    c = jnp.cumsum(x, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    return c[..., length: length + n_out] - c[..., :n_out]
 
 
 def linear_interp(x: jnp.ndarray, rate: int) -> jnp.ndarray:
