@@ -51,3 +51,54 @@ def test_fir_decimate_mm():
     n_out = (seg.shape[-1] - (taps.shape[0] - 1)) // 4
     b = ops.fir_decimate_mm(seg, taps, 4, n_out)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("length", [16, 144, 512])  # 512 > k_blk: gather path
+def test_box_sum_valid_mm_parity(length):
+    """MXU banded-matmul sliding box sums == cumsum-difference reference,
+    real and complex, including the window-wider-than-block gather branch."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, 4000))
+         + 1j * rng.standard_normal((2, 4000))).astype(np.complex64)
+    n_out = 4000 - length + 1
+    for arr in (jnp.asarray(x.real), jnp.asarray(x)):
+        a = ops.box_sum_valid(arr, length, n_out, use_mm=False)
+        b = ops.box_sum_valid(arr, length, n_out, use_mm=True)
+        assert a.shape == b.shape == (2, n_out)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * length)
+    # n_out shorter than the buffer allows (rx asks for n_cand exactly)
+    short = ops.box_sum_valid(jnp.asarray(x.real), length, 100, use_mm=True)
+    np.testing.assert_allclose(
+        np.asarray(short),
+        np.asarray(ops.box_sum_valid(jnp.asarray(x.real), length, 100,
+                                     use_mm=False)), atol=2e-4 * length)
+
+
+@pytest.mark.parametrize("decim", [1, 4])
+def test_schmidl_cox_mm_matches_cumsum(decim):
+    """schmidl_cox_metric: the MXU box-sum route and the prefix-sum route
+    compute the same metric and lag-phase CFO (decim=4 is the rx path,
+    decim=1 the obs.py diagnostics path with wide windows)."""
+    from mercury_tpu.channel import sim
+    from mercury_tpu.modem import sync
+    from mercury_tpu.modem.tx import TxChain
+
+    g = build_geometry(0, with_pre_eq=False)
+    tx = TxChain(g)
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 256, (1, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payload))
+    buf_len = g.nofdm * (g.nsymb + g.preamble_nsymb + 6) * g.interp
+    buf = np.asarray(sim.awgn_passband(
+        jax.random.key(0), jnp.asarray(frames), sim.sigma_for_esn0(10.0),
+        3 * g.nofdm * g.interp, buf_len)).astype(np.float32)
+    from mercury_tpu.modem.rx import RxChain
+    rx = RxChain(g)
+    bb = np.asarray(ops.fir_same(rx.mix(jnp.asarray(buf), 0.0), rx._fir_ts))
+    bb = jnp.asarray(bb[..., ::decim])
+    met_a, cfo_a = sync.schmidl_cox_metric(bb, g, decim=decim, use_mm=False)
+    met_b, cfo_b = sync.schmidl_cox_metric(bb, g, decim=decim, use_mm=True)
+    np.testing.assert_allclose(np.asarray(met_a), np.asarray(met_b), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(cfo_a), np.asarray(cfo_b), atol=0.05)
+    assert (int(jnp.argmax(met_a, -1)[0]) == int(jnp.argmax(met_b, -1)[0]))
