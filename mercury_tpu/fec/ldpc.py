@@ -137,7 +137,7 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
     q0 = jnp.where(v_mask[None], llr[:, :, None], 0.0)         # [B, N, Vw]
 
     def body(state):
-        q, _r, llr_tot, done, iters, it = state
+        q, llr_tot, done, iters, it = state
         qf = q.reshape(b, n * vw)
         qe = jnp.take(qf, edge_flat.reshape(-1), axis=1).reshape(b, p, cw)
         t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
@@ -170,16 +170,15 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50):
         llr_tot = jnp.where(done[:, None], llr_tot, llr_new)
         iters = jnp.where(conv & ~done, it + 1, iters)
         done = done | conv
-        return q, r_new, llr_tot, done, iters, it + 1
+        return q, llr_tot, done, iters, it + 1
 
     def cond(state):
-        _q, _r, _l, done, _i, it = state
+        _q, _l, done, _i, it = state
         return (it < max_iter) & ~jnp.all(done)
 
-    r0 = jnp.zeros((b, n, vw), dtype=llr.dtype)
     iters0 = jnp.where(clean0, 0, max_iter + 1)
-    state = (q0, r0, llr, clean0, iters0, jnp.int32(0))
-    q, _r, llr_tot, done, iters, _ = jax.lax.while_loop(cond, body, state)
+    state = (q0, llr, clean0, iters0, jnp.int32(0))
+    q, llr_tot, done, iters, _ = jax.lax.while_loop(cond, body, state)
 
     bits = (llr_tot < 0).astype(jnp.int32)
     return bits, iters.astype(jnp.int32), done

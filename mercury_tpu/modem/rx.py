@@ -343,7 +343,12 @@ class RxChain:
         selection; "full" (default) runs the whole chain."""
         g = self.geom
 
-        def run(pb_buffer, stage: str = "full"):
+        def run(pb_buffer, stage: str = "full", sync_limit: int | None = None):
+            """sync_limit (static, interp samples): only frame starts below
+            this offset are eligible sync candidates — used by the
+            time-sharded receiver so a chip never claims the frame whose
+            start belongs to its right neighbour's slice (the halo exists
+            only to *complete* frames that start locally)."""
             b = pb_buffer.shape[0]
             # 1) coarse sync on a base-rate time-sync-FIR baseband (the TS
             # filter bandlimits far below the decimated Nyquist; the MF
@@ -358,6 +363,9 @@ class RxChain:
                                 self._fir_ts, ts_dec)
             if g.spec.is_mfsk:
                 met = sync.mfsk_sync_metric(bb_ts, g, decim=ts_dec)
+                if sync_limit is not None:
+                    sym_pos = jnp.arange(met.shape[-1]) * (g.nofdm * g.interp)
+                    met = jnp.where(sym_pos[None] >= sync_limit, -1.0, met)
                 sym_idx = jnp.argmax(met, axis=-1)
                 delay = (sym_idx * g.nofdm * g.interp).astype(jnp.int32)
                 metric = jnp.take_along_axis(met, sym_idx[:, None], axis=-1)[:, 0]
@@ -368,6 +376,9 @@ class RxChain:
                                 metric, mean_h)
 
             met, cfo_arr = sync.schmidl_cox_metric(bb_ts, g, decim=ts_dec)
+            if sync_limit is not None:
+                pos_i = jnp.arange(met.shape[-1]) * ts_dec
+                met = jnp.where(pos_i[None] >= sync_limit, 0.0, met)
             # Top-K SC candidates with one-preamble-symbol suppression: the
             # normalized SC metric can score a *partial* preamble at a window
             # edge (or the next frame's first symbols) above the complete
@@ -457,6 +468,11 @@ class RxChain:
                 start_all.reshape(n_rows * b), tmpl_d, win_d)
             delays = delay_f.reshape(n_rows, b) * mf_d          # [K*A, B]
             scores = score_f.reshape(n_rows, b)
+            if sync_limit is not None:
+                # a boundary frame's GI plateau can sneak a candidate just
+                # under the limit and then refine PAST it — arbitrate only
+                # among hypotheses whose refined start is owned
+                scores = jnp.where(delays >= sync_limit, -jnp.inf, scores)
             cfos = jnp.concatenate(cfo_rows, axis=0)
             pick_a = jnp.argmax(scores, axis=0)                 # [B]
             delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
@@ -466,8 +482,11 @@ class RxChain:
             # a small advance is absorbed by the cyclic prefix + channel
             # estimator (the reference's fine sync lands 7-13 samples early)
             delay = delay - 8
-            max_delay = (g.nofdm * g.buffer_nsymb - g.nofdm *
-                         (g.nsymb + g.preamble_nsymb)) * g.interp
+            # clamp so the frame slice stays inside the actual input buffer
+            # (equals the buffer_nsymb-window bound for the standard capture
+            # length, but stays correct for longer sharded/streaming windows)
+            max_delay = (pb_buffer.shape[-1]
+                         - g.nofdm * (g.nsymb + g.preamble_nsymb) * g.interp)
             delay = jnp.clip(delay, 0, max_delay)
             if stage == "refine":
                 return delay, coarse_cfo, metric
@@ -551,7 +570,7 @@ class RxChain:
 
     @functools.cached_property
     def _receive_jit(self):
-        return jax.jit(self.receive_fn, static_argnames=("stage",))
+        return jax.jit(self.receive_fn, static_argnames=("stage", "sync_limit"))
 
     @functools.cached_property
     def decode_at_jit(self):

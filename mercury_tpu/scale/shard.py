@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mercury_tpu.dsp import ops
+from mercury_tpu.modem.rx import RxResult
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "ch") -> Mesh:
@@ -62,6 +63,65 @@ def halo_exchange(x_shard: jnp.ndarray, left: int, right: int,
         perm = [(i + 1, i) for i in range(n_dev - 1)]   # send head leftward
         parts.append(jax.lax.ppermute(head, axis_name, perm))
     return jnp.concatenate(parts, axis=-1)
+
+
+def time_sharded_receive(rx_chain, mesh: Mesh, time_axis: str = "t",
+                         halo: int | None = None):
+    """Full RX over one long capture stream time-sharded across chips.
+
+    The TPU-native analogue of the reference's sliding capture window
+    (audioio.c:999-1069) at pod scale: the stream [B, N] is split along time
+    over the mesh; every chip extends its slice with a right halo (one frame
+    + margin) from its neighbour via ppermute, runs the complete receive
+    program (sync + CFO + demod + LDPC) on the extended window, and claims
+    only frames that *start* inside its own slice — each frame is decoded by
+    exactly one chip, seams included.
+
+    Returns a jitted f(pb [B, N]) -> RxResult with leading shard axis
+    [n_dev, B]; `delay` is globalized to stream sample offsets and `crc_ok`
+    is False for chips that found no frame of their own.
+    """
+    g = rx_chain.geom
+    frame_interp = (g.nofdm * (rx_chain.active_nsymb + g.preamble_nsymb)
+                    * g.interp)
+    if halo is None:
+        halo = frame_interp + 2 * g.nofdm * g.interp
+
+    sym_interp = g.nofdm * g.interp
+
+    def local(pb):                                   # pb [B, n_local]
+        n_local = pb.shape[-1]
+        ext = halo_exchange(pb, 0, halo, time_axis)
+        # candidates are restricted to starts inside the local slice — the
+        # halo only completes local frames, it never donates its own
+        res = rx_chain.receive_fn(ext, sync_limit=n_local)
+        own = res.delay < n_local
+        shard0 = jax.lax.axis_index(time_axis) * n_local
+        claim = res.crc_ok & own
+        gd = res.delay + shard0                      # global frame start
+        # seam dedupe: a frame within MF-grid quantization of the boundary
+        # can decode on both sides — the left shard wins, the right one
+        # drops its duplicate (detected by near-equal global delay)
+        n_dev = jax.lax.axis_size(time_axis)
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        l_claim = jax.lax.ppermute(claim, time_axis, perm)
+        l_delay = jax.lax.ppermute(gd, time_axis, perm)
+        dup = l_claim & (jnp.abs(l_delay - gd) < sym_interp)
+        claim = claim & ~dup
+        return RxResult(
+            payload=res.payload[None],
+            crc_ok=claim[None],
+            delay=gd[None],
+            freq_offset=res.freq_offset[None],
+            snr_db=res.snr_db[None],
+            iters=res.iters[None],
+            sync_metric=res.sync_metric[None],
+            mean_h=res.mean_h[None])
+
+    shard_fn = jax.shard_map(local, mesh=mesh,
+                             in_specs=P(None, time_axis),
+                             out_specs=P(time_axis))
+    return jax.jit(shard_fn)
 
 
 def time_sharded_fir(mesh: Mesh, taps: np.ndarray, time_axis: str = "t"):

@@ -40,6 +40,44 @@ def test_channel_parallel_receive(mesh):
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(res1.payload))
 
 
+def test_time_sharded_receive(mesh):
+    """One long capture stream sharded over 8 devices: every chip decodes
+    exactly the frames that start in its slice, including a frame laid
+    across a shard seam (recovered via the right-halo exchange)."""
+    g = build_geometry(6)
+    tx, rx = TxChain(g), RxChain(g)
+    rng = np.random.default_rng(7)
+    n_dev = 8
+    frame_len = g.nofdm * (g.nsymb + g.preamble_nsymb) * g.interp
+    n_local = g.nofdm * g.buffer_nsymb * g.interp
+    n_total = n_dev * n_local
+
+    payload = rng.integers(0, 256, (n_dev, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payload))                # [n_dev, frame]
+    stream = (0.002 * rng.standard_normal((1, n_total))).astype(np.float32)
+    # frame k starts inside shard k; the last one straddles the seam into
+    # the (wrapped) next shard's territory — owned by shard k, decoded
+    # entirely from its halo
+    starts = []
+    for k in range(n_dev):
+        lo = k * n_local
+        start = lo + (3000 if k < n_dev - 1 else n_local - frame_len // 2)
+        start = min(start, n_total - frame_len)
+        starts.append(start)
+        stream[0, start: start + frame_len] += frames[k]
+
+    run = shard.time_sharded_receive(rx, mesh, time_axis="ch")
+    res = run(jnp.asarray(stream))
+    crc = np.asarray(res.crc_ok)[:, 0]
+    delays = np.asarray(res.delay)[:, 0]
+    got = np.asarray(res.payload)[:, 0]
+    assert crc.all(), f"shards decoded: {crc}"
+    for k in range(n_dev):
+        assert (got[k] == payload[k]).all(), f"shard {k} payload mismatch"
+        assert abs(int(delays[k]) - starts[k]) <= 16, (
+            f"shard {k}: delay {delays[k]} vs start {starts[k]}")
+
+
 def test_time_sharded_fir_exact(mesh):
     """Overlap-save FIR over a time-sharded stream matches the unsharded
     convolution exactly (halo seams correct)."""

@@ -5,8 +5,11 @@ Breaks receive() into its pipeline stages and times each jitted piece
 separately to find where the samples/s budget goes.
 """
 
-import time
+import os
 import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -51,20 +54,33 @@ def main():
     print(f"cfg={CFG} batch={BATCH} buf_len={buf_len} "
           f"({BATCH*buf_len/1e6:.2f} Msamples/iter)")
 
-    _, t_total = timeit("receive() total", rx.receive, buf)
+    # cumulative cost at each truncation of the real receive() program —
+    # the differences are the marginal cost of each pipeline section
+    ts = {}
+    for stage in ("sync", "refine", "hyp", "full"):
+        _, ts[stage] = timeit(f"receive[:{stage}]", rx._receive_jit, buf, stage)
+    t_total = ts["full"]
+    print(f"  marginal: sync={ts['sync']*1e3:.2f}  "
+          f"mf-refine={(ts['refine']-ts['sync'])*1e3:.2f}  "
+          f"extract+cfo-hyp={(ts['hyp']-ts['refine'])*1e3:.2f}  "
+          f"demap+ldpc+crc={(ts['full']-ts['hyp'])*1e3:.2f} ms")
 
+    # isolated sub-kernels (compiled separately; small launch overhead each)
     mix_fn = jax.jit(lambda pb: rx.mix(pb, 0.0))
     iq, t_mix = timeit("mix (full buffer)", mix_fn, buf)
 
-    fir2_fn = jax.jit(lambda x: ops.fir_same_strided(x, rx._fir_ts, 2))
-    bb2, t_fir = timeit("fir_same_strided /2 (TS)", fir2_fn, iq)
+    fir_strided = (ops.fir_same_strided_mm if rx._mxu_fir
+                   else ops.fir_same_strided)
+    firn_fn = jax.jit(lambda x: fir_strided(x, rx._fir_ts, g.interp))
+    bbn, t_fir = timeit(f"fir_same_strided /{g.interp} (TS)", firn_fn, iq)
 
-    sc_fn = jax.jit(lambda x: sync.schmidl_cox_metric(x, g, decim=2))
-    (met, cfo), t_sc = timeit("schmidl_cox_metric", sc_fn, bb2)
+    sc_fn = jax.jit(lambda x: sync.schmidl_cox_metric(x, g, decim=g.interp))
+    (met, cfo), t_sc = timeit("schmidl_cox_metric", sc_fn, bbn)
 
     dly = jnp.full((BATCH,), delay, jnp.int32)
-    ext_fn = jax.jit(lambda x, d: rx.extract_frame_decimated(x, d, rx.active_nsymb))
-    dec0, t_ext = timeit("extract_frame_decimated", ext_fn, iq, dly)
+    ext_fn = jax.jit(lambda x, d: rx.extract_frame_decimated_pb(
+        x, d, rx.active_nsymb))
+    dec0, t_ext = timeit("extract_frame_decimated_pb", ext_fn, buf, dly)
 
     dg_fn = jax.jit(rx.demod_grid)
     grid, t_dg = timeit("demod_grid", dg_fn, dec0)
@@ -86,8 +102,6 @@ def main():
 
     sps = BATCH * buf_len / t_total
     print(f"\nreceive() = {sps/1e6:.1f} Msamples/s")
-    known = t_mix + t_fir + t_sc + t_ext + t_dg + t_lp
-    print(f"stage sum (1-hyp path) = {known*1e3:.2f} ms vs total {t_total*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
