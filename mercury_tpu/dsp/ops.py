@@ -164,6 +164,56 @@ def fir_same_strided_mm(x: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
     return _fir_decimate_valid_mm(y, taps_np, stride, n_out)
 
 
+_corr_bank_cache: dict = {}
+
+
+def corr_valid_mm_multi(x: jnp.ndarray, filt: np.ndarray, n_out: int,
+                        k_blk: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sliding correlations of one complex signal against F complex filters
+    on the MXU: c[b, f, j] = sum_t x[b, j+t] * filt[f, t] for j < n_out.
+
+    x: [B, L] complex; filt: [F, S] complex (host numpy — pass the
+    conjugate for a matched filter). Returns (re, im) each [B, F, n_out]
+    float32. The windows tensor is built once and shared by all filters —
+    this is what makes a bank of alias-rotated templates nearly free versus
+    one filter.
+    """
+    f_n, s = filt.shape
+    blk = k_blk
+    nb = -(-n_out // blk)
+    w = blk - 1 + s
+    need = (nb - 1) * blk + w
+    b = x.shape[0]
+    x = jnp.pad(x, [(0, 0), (0, max(need - x.shape[-1], 0))])[..., :need]
+    idx = (np.arange(nb)[:, None] * blk + np.arange(w)[None, :]).astype(np.int32)
+    win = x[:, jnp.asarray(idx)]                           # [B, nb, W] complex
+
+    key = (filt.tobytes(), blk)
+    t_ops = _corr_bank_cache.get(key)
+    if t_ops is None:
+        tr = np.zeros((w, f_n * blk), np.float32)
+        ti = np.zeros((w, f_n * blk), np.float32)
+        fr = filt.real.astype(np.float32)
+        fi = filt.imag.astype(np.float32)
+        for m in range(blk):
+            tr[m: m + s, m::blk] = fr.T
+            ti[m: m + s, m::blk] = fi.T
+        _corr_bank_cache[key] = t_ops = (tr, ti)
+    tr, ti = (jnp.asarray(t) for t in t_ops)
+    wr, wi = jnp.real(win), jnp.imag(win)
+    mm = lambda a, t: jnp.einsum("bnw,wk->bnk", a, t,
+                                 preferred_element_type=jnp.float32)
+    re = mm(wr, tr) - mm(wi, ti)
+    im = mm(wr, ti) + mm(wi, tr)
+
+    def fold(o):                                           # [B,nb,F*blk]
+        o = o.reshape(b, nb, f_n, blk)
+        o = jnp.swapaxes(o, 1, 2).reshape(b, f_n, nb * blk)
+        return o[..., :n_out]
+
+    return fold(re), fold(im)
+
+
 def box_sum_valid(x: jnp.ndarray, length: int, n_out: int,
                   use_mm: bool = True) -> jnp.ndarray:
     """Sliding-window sums S[j] = sum_{k<length} x[..., j+k] for j < n_out.

@@ -88,6 +88,30 @@ class RxChain:
             self._const = np.asarray(g.constellation, self.np_cdtype)
             self._bit_perm = jnp.asarray(g.bit_perm)
             self._tf_perm = jnp.asarray(g.tf_perm)
+            # CFO-hypothesis selection operators: the per-hypothesis metric
+            # (pilot variance) needs only the pilot cells, so instead of a
+            # full FFT demod per hypothesis the pilots are extracted with a
+            # per-symbol partial DFT (MXU matmul): [S, maxP, Nfft] operator
+            # + slot map back to pilot_cells order, plus the pilot-row slice
+            # of the channel-estimation operator.
+            s_of = g.pilot_cells // g.nc
+            c_of = g.pilot_cells % g.nc
+            k_bins = np.asarray(g.pad_map)[c_of].astype(np.float64)
+            t_fft = np.arange(g.nfft, dtype=np.float64)
+            rows = np.exp(-2j * np.pi * np.outer(k_bins, t_fft) / g.nfft) / g.nfft
+            counts = np.bincount(s_of, minlength=g.nsymb)
+            maxp = int(counts.max())
+            pil_op = np.zeros((g.nsymb, maxp, g.nfft), np.complex128)
+            pil_slot = np.zeros(len(s_of), np.int64)
+            fill = np.zeros(g.nsymb, np.int64)
+            for i, s in enumerate(s_of):
+                pil_op[s, fill[s]] = rows[i]
+                pil_slot[i] = s * maxp + fill[s]
+                fill[s] += 1
+            self._pil_dft_op = np.asarray(pil_op, self.np_cdtype)
+            self._pil_slot = jnp.asarray(pil_slot)
+            self._est_pil_op = jnp.asarray(
+                np.asarray(g.est_op)[g.pilot_cells]).astype(real_dtype)
         # known-preamble matched-filter templates (interp-rate waveforms)
         from mercury_tpu.core import hostdsp
         if g.spec.is_mfsk:
@@ -412,7 +436,6 @@ class RxChain:
             # the reference's deliberately-early fine sync. Versus a
             # full-rate MF this cuts the FFT-correlation work ~16x and skips
             # the per-candidate re-filtering entirely.
-            window = 2 * g.nofdm * g.interp
             lp, s_tmpl = self._mf_templates.shape
             # MF lag = mf_d interp samples. The TS FIR's stopband edge is
             # ~2.5 kHz (cut 0.9*bw/2 + 3 kHz transition), so a 2*interp
@@ -420,6 +443,7 @@ class RxChain:
             # filtered spectrum; delay quantization stays far inside the GI.
             mf_d = 2 * ts_dec if s_tmpl % (2 * ts_dec) == 0 else ts_dec
             mf_s = mf_d // ts_dec                 # stride within bb_ts
+            window = 2 * g.nofdm * g.interp
             win_d = window // mf_d
             s_d = s_tmpl // mf_d
             seg_d_len = 2 * win_d + lp * s_d
@@ -427,14 +451,26 @@ class RxChain:
             seg_core = seg_d_len * mf_d
             max_start = (n_ts * ts_dec - seg_core) // mf_d * mf_d
             tmpl_d = np.ascontiguousarray(self._mf_templates[:, ::mf_d])
-            alias = self.real_dtype(g.fs / ((g.nfft // 2) * g.interp))
+            alias = g.fs / ((g.nfft // 2) * g.interp)   # host-constant Hz
 
             def slice_one(row, st_ts):
                 return jax.lax.dynamic_slice(row, (st_ts,),
                                              (seg_d_len * mf_s,))
 
-            # build all (candidate x alias) rotated segments, then run ONE
-            # batched FFT correlation — fewer, larger FFT ops
+            # SC lag-phase CFO is ambiguous modulo 93.75 Hz. The alias part
+            # of each hypothesis is data-INDEPENDENT, so it rotates the
+            # host-precomputed template bank instead of the segments: only
+            # the data-dependent coarse CFO rotates each candidate segment
+            # (K forward FFTs and one exp per candidate instead of K*A).
+            if self.cfo_range == "wide":
+                alias_offsets = (0.0, float(alias), -float(alias))
+            else:
+                alias_offsets = (0.0,)
+            t_tmpl = np.arange(tmpl_d.shape[-1], dtype=np.float64) * mf_d
+            tmpl_bank = np.stack([
+                tmpl_d * np.exp(-1j * (2 * np.pi / g.fs) * f_a * t_tmpl)[None]
+                for f_a in alias_offsets]).astype(self.np_cdtype)  # [A, Lp, S]
+
             seg_rows, start_rows, cfo_rows = [], [], []
             for k in range(n_k):
                 coarse = cand_list[k]
@@ -444,30 +480,26 @@ class RxChain:
                              // mf_d) * mf_d
                 seg_d = jax.vmap(slice_one)(bb_ts,
                                             seg_start // ts_dec)[..., ::mf_s]
-                # SC lag-phase CFO is ambiguous modulo 93.75 Hz; pre-rotate
-                # the 23 ms-coherent MF at the alias hypotheses
-                if self.cfo_range == "wide":
-                    cfo_h = jnp.stack([coarse_cfo_k, coarse_cfo_k + alias,
-                                       coarse_cfo_k - alias])   # [A, B]
-                else:
-                    cfo_h = coarse_cfo_k[None]
-                n_alias = cfo_h.shape[0]
-                t_seg = (seg_start[None, :, None].astype(self.real_dtype)
+                t_seg = (seg_start[:, None].astype(self.real_dtype)
                          + jnp.arange(seg_d_len, dtype=self.real_dtype) * mf_d)
                 rot_seg = jnp.exp(1j * (2 * np.pi / g.fs)
-                                  * cfo_h[:, :, None] * t_seg).astype(self.cdtype)
-                seg_rows.append(seg_d[None] * rot_seg)   # [A, B, L]
-                start_rows.append(jnp.broadcast_to(
-                    (seg_start // mf_d)[None], (n_alias, b)))
-                cfo_rows.append(cfo_h)
-            seg_all = jnp.concatenate(seg_rows, axis=0)          # [K*A, B, L]
+                                  * coarse_cfo_k[:, None] * t_seg
+                                  ).astype(self.cdtype)
+                seg_rows.append(seg_d * rot_seg)                 # [B, L]
+                start_rows.append(seg_start // mf_d)
+                cfo_rows.append(jnp.stack(
+                    [coarse_cfo_k + f_a for f_a in alias_offsets]))  # [A, B]
+            seg_all = jnp.concatenate(seg_rows, axis=0)          # [K*B, L]
             start_all = jnp.concatenate(start_rows, axis=0)
-            n_rows = seg_all.shape[0]
-            delay_f, score_f = sync.matched_filter_refine_seg(
-                seg_all.reshape(n_rows * b, seg_d_len),
-                start_all.reshape(n_rows * b), tmpl_d, win_d)
-            delays = delay_f.reshape(n_rows, b) * mf_d          # [K*A, B]
-            scores = score_f.reshape(n_rows, b)
+            delay_f, score_f = sync.matched_filter_refine_bank(
+                seg_all, start_all, tmpl_bank, win_d)            # [K*B, A]
+            n_alias = len(alias_offsets)
+            n_rows = n_k * n_alias
+            # [K*B, A] -> [K, B, A] -> [K, A, B] -> [K*A, B]
+            delays = (jnp.swapaxes(delay_f.reshape(n_k, b, n_alias), 1, 2)
+                      .reshape(n_rows, b) * mf_d)               # [K*A, B]
+            scores = jnp.swapaxes(score_f.reshape(n_k, b, n_alias),
+                                  1, 2).reshape(n_rows, b)
             if sync_limit is not None:
                 # a boundary frame's GI plateau can sneak a candidate just
                 # under the limit and then refine PAST it — arbitrate only
@@ -519,36 +551,72 @@ class RxChain:
                         freq_m + subc, freq_m - subc)
             else:
                 hyps = (freq_m, jnp.zeros_like(freq_m))
-            grids, variances, sel_metrics, stats = [], [], [], []
-            for f_h in hyps:
-                rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
-                dec_h = dec0 * rot.astype(self.cdtype)
-                grid_h = self.demod_grid(dec_h)
-                eq, var, mh, var_full = self.grid_stats(grid_h)
-                grids.append(eq)
-                variances.append(var)
-                stats.append((mh, var_full))
-                if g.spec.channel_estimator == ZERO_FORCE:
-                    # ZF forces the pilots exact, so pilot variance cannot
-                    # discriminate hypotheses — use the hard-decision error
-                    # power of the equalized data symbols instead
+            if g.spec.channel_estimator == ZERO_FORCE:
+                # ZF forces the pilots exact, so pilot variance cannot
+                # discriminate hypotheses — use the hard-decision error
+                # power of the equalized data symbols instead (needs the
+                # full grid per hypothesis)
+                grids, variances, sel_metrics, stats = [], [], [], []
+                for f_h in hyps:
+                    rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
+                    dec_h = dec0 * rot.astype(self.cdtype)
+                    grid_h = self.demod_grid(dec_h)
+                    eq, var, mh, var_full = self.grid_stats(grid_h)
+                    grids.append(eq)
+                    variances.append(var)
+                    stats.append((mh, var_full))
                     data_h = jnp.take(eq, self._data_cells, axis=-1)
                     d2 = jnp.min(jnp.abs(data_h[..., None] - self._const) ** 2,
                                  axis=-1)
                     sel_metrics.append(jnp.mean(d2, axis=-1))
-                else:
-                    sel_metrics.append(var)
-            var_stack = jnp.stack(sel_metrics, axis=0)         # [H, B]
-            pick = jnp.argmin(var_stack, axis=0)               # [B]
-            eq = jnp.take_along_axis(
-                jnp.stack(grids, axis=0), pick[None, :, None], axis=0)[0]
-            variance = jnp.take_along_axis(
-                jnp.stack(variances, axis=0), pick[None], axis=0)[0]
-            mean_h = jnp.take_along_axis(
-                jnp.stack([s[0] for s in stats], 0), pick[None], axis=0)[0]
-            var_full = jnp.take_along_axis(
-                jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
-            freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None], axis=0)[0]
+                var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
+                pick = jnp.argmin(var_stack, axis=0)           # [B]
+                eq = jnp.take_along_axis(
+                    jnp.stack(grids, axis=0), pick[None, :, None], axis=0)[0]
+                variance = jnp.take_along_axis(
+                    jnp.stack(variances, axis=0), pick[None], axis=0)[0]
+                mean_h = jnp.take_along_axis(
+                    jnp.stack([s[0] for s in stats], 0), pick[None], axis=0)[0]
+                var_full = jnp.take_along_axis(
+                    jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
+                freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
+                                           axis=0)[0]
+            else:
+                # pilot variance discriminates, and it only needs the pilot
+                # cells: per hypothesis, extract them with the per-symbol
+                # partial-DFT matmul and run the pilot-side half of
+                # grid_stats; only the winner pays the full FFT demod
+                pil_dft = jnp.asarray(self._pil_dft_op)
+                pre = g.preamble_nsymb * g.nofdm
+                sel_metrics = []
+                for f_h in hyps:
+                    rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
+                    dec_h = dec0 * rot.astype(self.cdtype)
+                    sym = dec_h[..., pre:].reshape(b, self.active_nsymb,
+                                                   g.nofdm)
+                    sym = sym[..., g.ngi: g.ngi + g.nfft]
+                    y3 = jnp.einsum("bst,spt->bsp", sym, pil_dft)
+                    y_pil = jnp.take(y3.reshape(b, -1), self._pil_slot,
+                                     axis=-1)                  # [B, nPil]
+                    gain = PILOT_BOOST / jnp.mean(jnp.abs(y_pil), axis=-1,
+                                                  keepdims=True)
+                    y_pil = y_pil * gain
+                    h_pil = ((y_pil.real @ self._est_pil_op.T)
+                             + 1j * (y_pil.imag @ self._est_pil_op.T))
+                    if g.spec.amplitude_restoration:
+                        h_eq = h_pil / jnp.maximum(jnp.abs(h_pil), 1e-30)
+                    else:
+                        h_eq = h_pil
+                    var_h = jnp.mean(
+                        jnp.abs(y_pil / h_eq - self._pilot_seq) ** 2, axis=-1)
+                    sel_metrics.append(var_h)
+                var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
+                pick = jnp.argmin(var_stack, axis=0)           # [B]
+                freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
+                                           axis=0)[0]
+                rot = jnp.exp(1j * (2 * np.pi / g.fs) * freq[:, None] * t_dec)
+                grid_w = self.demod_grid(dec0 * rot.astype(self.cdtype))
+                eq, variance, mean_h, var_full = self.grid_stats(grid_w)
             if stage == "hyp":
                 return eq, variance, freq
 

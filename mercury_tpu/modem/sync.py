@@ -145,34 +145,83 @@ def matched_filter_refine_seg(seg: jnp.ndarray, start: jnp.ndarray,
                               window: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter refinement over a pre-extracted full-rate segment.
     seg: [B, 2*window + Lp*S]; start: absolute offset of seg[0]."""
-    lp, s = templates.shape
-    seg_len = seg.shape[-1]
+    delay, score = matched_filter_refine_bank(
+        seg, start, np.asarray(templates)[None], window)
+    return delay[:, 0], score[:, 0]
 
-    nfft2 = 1
-    while nfft2 < seg_len:
-        nfft2 *= 2
-    xf = jnp.fft.fft(seg, n=nfft2, axis=-1)
-    tf = jnp.fft.fft(templates, n=nfft2, axis=-1)              # [Lp, nfft2]
-    corr = jnp.fft.ifft(xf[:, None, :] * jnp.conj(tf)[None], axis=-1)
+
+def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
+                               bank: np.ndarray, window: int,
+                               use_mm: bool | None = None,
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Matched-filter refinement against a bank of A template variants
+    (e.g. CFO-alias rotations, host-precomputed) in one pass.
+
+    Rotating the *segment* by e^{jwt} and rotating the *template* by
+    e^{-jwt} give the same per-symbol |correlation| (only the constant
+    phase e^{jwd} differs), so data-independent CFO hypotheses move to the
+    template side — one shared windows/FFT pass for the whole bank.
+
+    use_mm selects the correlation engine: banded-Toeplitz matmuls on the
+    MXU (TPU default — only the n_cand lags actually scored are computed)
+    or FFT correlation (CPU default — fewer flops, no MXU to feed).
+
+    seg: [B, 2*window + Lp*S]; start: absolute offset of seg[0];
+    bank: [A, Lp, S] complex. Returns (delay [B, A], score [B, A]).
+    """
+    if use_mm is None:
+        use_mm = jax.default_backend() != "cpu"
+    if seg.dtype == jnp.complex128:
+        use_mm = False                   # the matmul path is f32-only
+    a, lp, s = bank.shape
+    n_cand = 2 * window + 1
+    bank = np.asarray(bank)
+
+    if use_mm:
+        n_off = n_cand + (lp - 1) * s
+        filt = np.conj(bank).reshape(a * lp, s)
+        from mercury_tpu.dsp import ops as _ops
+        c_re, c_im = _ops.corr_valid_mm_multi(seg, filt, n_off)
+        c_all = (c_re.reshape(seg.shape[0], a, lp, n_off),
+                 c_im.reshape(seg.shape[0], a, lp, n_off))
+
+        def corr_abs(l):
+            cr = c_all[0][:, :, l, l * s: l * s + n_cand]
+            ci = c_all[1][:, :, l, l * s: l * s + n_cand]
+            return jnp.sqrt(cr * cr + ci * ci)
+    else:
+        seg_len = seg.shape[-1]
+        nfft2 = 1
+        while nfft2 < seg_len:
+            nfft2 *= 2
+        xf = jnp.fft.fft(seg, n=nfft2, axis=-1)
+        tfc = np.conj(np.fft.fft(bank, n=nfft2, axis=-1))
+        corr = jnp.fft.ifft(xf[:, None, None, :]
+                            * jnp.asarray(tfc, dtype=xf.dtype)[None],
+                            axis=-1)                           # [B, A, Lp, n2]
+
+        def corr_abs(l):
+            return jnp.abs(corr[:, :, l, l * s: l * s + n_cand])
 
     e = jnp.abs(seg) ** 2
     ce = jnp.concatenate([jnp.zeros_like(e[..., :1]), jnp.cumsum(e, axis=-1)], axis=-1)
-    n_cand = 2 * window + 1
-    t_norm = jnp.sqrt(jnp.sum(jnp.abs(templates) ** 2, axis=-1))  # [Lp]
+    t_norm = np.sqrt(np.sum(np.abs(bank) ** 2, axis=-1))       # [A, Lp]
 
-    score = jnp.zeros((seg.shape[0], n_cand), dtype=seg.real.dtype)
+    score = jnp.zeros((seg.shape[0], a, n_cand), dtype=seg.real.dtype)
     # mean energy scale for the silence guard: float32 prefix-sum cancellation
     # can drive window energies to ~0 (or negative) in exact silence, which
     # would explode the normalized score — zero those windows instead
     e_floor = 1e-4 * jnp.mean(e, axis=-1, keepdims=True) * s + 1e-20
     for l in range(lp):
-        c_l = jnp.abs(corr[:, l, l * s: l * s + n_cand])
+        c_l = corr_abs(l)
         e_l = ce[..., l * s + s: l * s + s + n_cand] - ce[..., l * s: l * s + n_cand]
-        term = c_l / (jnp.sqrt(jnp.maximum(e_l, e_floor)) * t_norm[l])
-        score = score + jnp.where(e_l > e_floor, term, 0.0)
-    best = jnp.argmax(score, axis=-1)
-    delay = start + best
-    return delay.astype(jnp.int32), jnp.take_along_axis(score, best[:, None], axis=-1)[:, 0] / lp
+        term = c_l / (jnp.sqrt(jnp.maximum(e_l, e_floor))[:, None]
+                      * jnp.asarray(t_norm[None, :, l, None]))
+        score = score + jnp.where(e_l[:, None] > e_floor[:, None], term, 0.0)
+    best = jnp.argmax(score, axis=-1)                          # [B, A]
+    delay = start[:, None] + best
+    return (delay.astype(jnp.int32),
+            jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp)
 
 
 def gi_time_sync_metric(bb: jnp.ndarray, geom: ModeGeometry,

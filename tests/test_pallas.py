@@ -75,6 +75,35 @@ def test_box_sum_valid_mm_parity(length):
                                      use_mm=False)), atol=2e-4 * length)
 
 
+def test_matched_filter_bank_mm_parity():
+    """MXU banded-matmul MF correlation == FFT correlation: same refined
+    delays and near-identical scores for an alias-rotated template bank."""
+    from mercury_tpu.modem import sync
+
+    g = build_geometry(0, with_pre_eq=False)
+    rng = np.random.default_rng(5)
+    lp, s = 4, 136
+    bank = (rng.standard_normal((3, lp, s))
+            + 1j * rng.standard_normal((3, lp, s))).astype(np.complex64)
+    window = 272
+    seg_len = 2 * window + lp * s
+    seg = (rng.standard_normal((6, seg_len))
+           + 1j * rng.standard_normal((6, seg_len))).astype(np.complex64)
+    # plant a copy of template row 1 at a known lag so argmax is decisive
+    tmpl_cat = bank[1].reshape(-1)
+    seg[3, 100: 100 + lp * s] += 6.0 * tmpl_cat
+    seg_j = jnp.asarray(seg)
+    start = jnp.zeros(6, jnp.int32)
+    d_fft, s_fft = sync.matched_filter_refine_bank(seg_j, start, bank, window,
+                                                   use_mm=False)
+    d_mm, s_mm = sync.matched_filter_refine_bank(seg_j, start, bank, window,
+                                                 use_mm=True)
+    np.testing.assert_array_equal(np.asarray(d_fft), np.asarray(d_mm))
+    np.testing.assert_allclose(np.asarray(s_fft), np.asarray(s_mm),
+                               rtol=2e-4, atol=2e-4)
+    assert int(np.asarray(d_mm)[3, 1]) == 100
+
+
 @pytest.mark.parametrize("decim", [1, 4])
 def test_schmidl_cox_mm_matches_cumsum(decim):
     """schmidl_cox_metric: the MXU box-sum route and the prefix-sum route
