@@ -108,13 +108,10 @@ def _fir_toeplitz(taps_key: bytes, taps: np.ndarray, stride: int,
     return t
 
 
-def _fir_decimate_valid_mm(y: jnp.ndarray, taps, stride: int,
-                           n_out: int, k_blk: int = 128) -> jnp.ndarray:
-    """out[m] = sum_u taps[ntaps-1-u] * y[m*stride + u] for m < n_out,
-    computed as blocked banded matmuls (MXU path). Real y only."""
-    taps_np = np.asarray(taps, dtype=np.float32)
-    t_op = _fir_toeplitz(taps_np.tobytes(), taps_np, stride, k_blk)
-    w = t_op.shape[0]
+def _valid_windows(y: jnp.ndarray, w: int, stride: int, n_out: int,
+                   k_blk: int) -> tuple[jnp.ndarray, int]:
+    """Blocked sliding windows [B, nb, W] so that window c row covers
+    y[c*k_blk*stride : c*k_blk*stride + W]."""
     nb = -(-n_out // k_blk)
     blk = k_blk * stride
     halo = w - blk
@@ -133,9 +130,33 @@ def _fir_decimate_valid_mm(y: jnp.ndarray, taps, stride: int,
         idx = (np.arange(nb)[:, None] * blk
                + np.arange(w)[None, :]).astype(np.int32)
         win = y[:, jnp.asarray(idx)]                      # [B, nb, W]
-    out = jnp.einsum("bci,ik->bck", win, jnp.asarray(t_op),
-                     preferred_element_type=jnp.float32)
-    return out.reshape(b, nb * k_blk)[..., :n_out]
+    return win, nb
+
+
+def _fir_decimate_valid_mm(y: jnp.ndarray, taps, stride: int,
+                           n_out: int, k_blk: int = 128) -> jnp.ndarray:
+    """out[m] = sum_u taps[ntaps-1-u] * y[m*stride + u] for m < n_out,
+    computed as blocked banded matmuls (MXU path). Real y; real or complex
+    taps (complex taps -> complex output from one real windows tensor)."""
+    taps_np = np.asarray(taps)
+    b = y.shape[0]
+
+    def t_op_for(t_real: np.ndarray) -> np.ndarray:
+        t32 = np.ascontiguousarray(t_real, dtype=np.float32)
+        return _fir_toeplitz(t32.tobytes(), t32, stride, k_blk)
+
+    def mm(win, t_op, nb):
+        out = jnp.einsum("bci,ik->bck", win, jnp.asarray(t_op),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(b, nb * k_blk)[..., :n_out]
+
+    if np.iscomplexobj(taps_np):
+        t_r, t_i = t_op_for(taps_np.real), t_op_for(taps_np.imag)
+        win, nb = _valid_windows(y, t_r.shape[0], stride, n_out, k_blk)
+        return mm(win, t_r, nb) + 1j * mm(win, t_i, nb)
+    t_op = t_op_for(taps_np)
+    win, nb = _valid_windows(y, t_op.shape[0], stride, n_out, k_blk)
+    return mm(win, t_op, nb)
 
 
 def fir_decimate_mm(y: jnp.ndarray, taps, stride: int,
@@ -162,6 +183,48 @@ def fir_same_strided_mm(x: jnp.ndarray, taps, stride: int) -> jnp.ndarray:
     n_out = (n - 1) // stride + 1
     y = jnp.pad(x, [(0, 0), (left, 0)])
     return _fir_decimate_valid_mm(y, taps_np, stride, n_out)
+
+
+def fir_same_strided_mix_mm(x: jnp.ndarray, taps, stride: int,
+                            w_rad: float, amp: float) -> jnp.ndarray:
+    """== fir_same_strided(x * osc, taps, stride) for the oscillator
+    osc[n] = amp * e^{j*w_rad*n}, WITHOUT materializing the full-rate
+    complex mix: since the oscillator is exponential, it folds into
+    complex FIR taps ct[k] = taps[k]*e^{j*w_rad*(center-k)} plus a
+    decimated-rate output rotation amp*e^{j*w_rad*m*stride}. One real
+    windows tensor feeds two real matmuls — the mixer costs nothing at
+    the full rate. x real [B, n]."""
+    taps_np = np.asarray(taps, dtype=np.float64)
+    ntaps = taps_np.shape[0]
+    center = (ntaps - 1) // 2
+    left = ntaps - 1 - center
+    k = np.arange(ntaps, dtype=np.float64)
+    ct = (taps_np * np.exp(1j * w_rad * (center - k))).astype(np.complex128)
+    n = x.shape[-1]
+    n_out = (n - 1) // stride + 1
+    y = jnp.pad(x, [(0, 0), (left, 0)])
+    out = _fir_decimate_valid_mm(y, ct, stride, n_out)
+    ofac = (amp * np.exp(1j * w_rad * stride
+                         * np.arange(n_out, dtype=np.float64))
+            ).astype(np.complex64)
+    return out * jnp.asarray(ofac)
+
+
+def fir_decimate_mix_mm(seg: jnp.ndarray, taps, stride: int, n_out: int,
+                        w_rad: float, ofac: jnp.ndarray) -> jnp.ndarray:
+    """== fir_decimate_mm(seg * osc_seg, taps, stride, n_out) for a mixer
+    slice osc_seg[b, u] = ofac[b, 0]-anchored oscillator at w_rad rad/sample:
+    osc_seg[b, u] = ofac-phase(b) * e^{j*w_rad*u}. The mixer folds into
+    complex taps ct_rev[u] = taps[nt-1-u]*e^{j*w_rad*u}; the caller passes
+    ofac[b, m] = oscillator value at output sample m*stride of row b
+    (typically a gather from a float64-phase host table — exact), so the
+    full-rate complex mixed segment never exists. seg real [B, L]."""
+    taps_np = np.asarray(taps, dtype=np.float64)
+    ntaps = taps_np.shape[0]
+    k = np.arange(ntaps, dtype=np.float64)
+    ct = (taps_np * np.exp(1j * w_rad * (ntaps - 1 - k))).astype(np.complex128)
+    out = _fir_decimate_valid_mm(seg, ct, stride, n_out)
+    return out * ofac.astype(out.dtype)
 
 
 _corr_bank_cache: dict = {}

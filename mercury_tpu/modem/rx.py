@@ -218,12 +218,27 @@ class RxChain:
             return jax.lax.dynamic_slice(row, (st,), (seg_len,))
 
         seg_pb = jax.vmap(slice_pb)(pb_pad, start)
+        if self._mxu_fir:
+            # fold the mixer into complex FIR taps + an output-rate rotation:
+            # one anchor value per row from the float64-phase oscillator
+            # table times a host-constant step vector (2D gathers from the
+            # table are pathologically slow on TPU) — the complex full-rate
+            # segment never exists (ops.fir_decimate_mix_mm)
+            n_out = frame_interp // g.interp
+            w_rad = 2 * np.pi * g.fc / g.fs
+            step_key = ("mix_step", n_out, g.interp)
+            step = self._osc_cache.get(step_key)
+            if step is None:
+                m = np.arange(n_out, dtype=np.float64) * g.interp
+                step = np.exp(1j * w_rad * m).astype(self.np_cdtype)
+                self._osc_cache[step_key] = step
+            osc_start = jnp.take(osc, start, axis=0)           # [B]
+            ofac = osc_start[:, None] * jnp.asarray(step)[None]
+            return ops.fir_decimate_mix_mm(seg_pb, self._fir_data, g.interp,
+                                           n_out, w_rad, ofac)
         osc_seg = jax.vmap(
             lambda st: jax.lax.dynamic_slice(osc, (st,), (seg_len,)))(start)
         seg = seg_pb * osc_seg
-        if self._mxu_fir:
-            return ops.fir_decimate_mm(seg, self._fir_data, g.interp,
-                                       frame_interp // g.interp)
         return ops.fir_decimate_segment(seg, self._fir_data, g.interp)
 
     # ------------------------------------------------------------------
@@ -377,14 +392,18 @@ class RxChain:
             # 1) coarse sync on a base-rate time-sync-FIR baseband (the TS
             # filter bandlimits far below the decimated Nyquist; the MF
             # refinement below restores sub-GI timing). The full interp-rate
-            # IQ is never materialized: the f=0 mixer is a constant-vector
-            # multiply fused into the strided conv here and into the frame
-            # extraction below.
+            # IQ is never materialized: on accelerators the f=0 mixer folds
+            # into complex FIR taps + a base-rate output rotation
+            # (ops.fir_same_strided_mix_mm), so the real passband goes
+            # straight into the strided matmul.
             ts_dec = g.interp
-            fir_strided = (ops.fir_same_strided_mm if self._mxu_fir
-                           else ops.fir_same_strided)
-            bb_ts = fir_strided(self.mix(pb_buffer, 0.0),
-                                self._fir_ts, ts_dec)
+            if self._mxu_fir:
+                bb_ts = ops.fir_same_strided_mix_mm(
+                    pb_buffer.astype(self.real_dtype), self._fir_ts, ts_dec,
+                    2 * np.pi * g.fc / g.fs, float(np.sqrt(2.0)))
+            else:
+                bb_ts = ops.fir_same_strided(self.mix(pb_buffer, 0.0),
+                                             self._fir_ts, ts_dec)
             if g.spec.is_mfsk:
                 met = sync.mfsk_sync_metric(bb_ts, g, decim=ts_dec)
                 if sync_limit is not None:

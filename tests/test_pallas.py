@@ -75,6 +75,44 @@ def test_box_sum_valid_mm_parity(length):
                                      use_mm=False)), atol=2e-4 * length)
 
 
+def test_fir_same_strided_mix_mm_parity():
+    """Mixer folded into complex FIR taps == explicit mix -> strided FIR."""
+    g = build_geometry(0, with_pre_eq=False)
+    rng = np.random.default_rng(6)
+    pb = jnp.asarray(rng.standard_normal((3, 9173)).astype(np.float32))
+    taps = jnp.asarray(g.fir_rx_ts.astype(np.float32))
+    w = 2 * np.pi * g.fc / g.fs
+    t = np.arange(9173, dtype=np.float64)
+    osc = (np.sqrt(2.0) * np.exp(1j * w * t)).astype(np.complex64)
+    ref = ops.fir_same_strided(pb * jnp.asarray(osc), taps, 4)
+    out = ops.fir_same_strided_mix_mm(pb, taps, 4, w, float(np.sqrt(2.0)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_fir_decimate_mix_mm_parity():
+    """Per-row mixer slice folded into complex taps + gathered output
+    rotation == explicit osc-multiplied segment FIR."""
+    g = build_geometry(0, with_pre_eq=False)
+    rng = np.random.default_rng(7)
+    seg = jnp.asarray(rng.standard_normal((3, 2311)).astype(np.float32))
+    taps_np = g.fir_rx_data.astype(np.float32)
+    taps = jnp.asarray(taps_np)
+    w = 2 * np.pi * g.fc / g.fs
+    n_out = (2311 - (len(taps_np) - 1)) // 4
+    starts = np.array([0, 37, 1205], np.int32)      # per-row table offsets
+    t = np.arange(4096, dtype=np.float64)
+    osc = (np.sqrt(2.0) * np.exp(1j * w * t)).astype(np.complex64)
+    osc_seg = jnp.asarray(np.stack([osc[s: s + 2311] for s in starts]))
+    ref = ops.fir_decimate_segment(seg * osc_seg, taps, 4)
+    idx = starts[:, None] + np.arange(n_out)[None] * 4
+    ofac = jnp.asarray(osc[idx])
+    out = ops.fir_decimate_mix_mm(seg, taps, 4, n_out, w, ofac)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[..., :n_out]),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_matched_filter_bank_mm_parity():
     """MXU banded-matmul MF correlation == FFT correlation: same refined
     delays and near-identical scores for an alias-rotated template bank."""
