@@ -231,7 +231,8 @@ _corr_bank_cache: dict = {}
 
 
 def corr_valid_mm_multi(x: jnp.ndarray, filt: np.ndarray, n_out: int,
-                        k_blk: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        k_blk: int = 128,
+                        mm_dtype=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sliding correlations of one complex signal against F complex filters
     on the MXU: c[b, f, j] = sum_t x[b, j+t] * filt[f, t] for j < n_out.
 
@@ -264,6 +265,12 @@ def corr_valid_mm_multi(x: jnp.ndarray, filt: np.ndarray, n_out: int,
         _corr_bank_cache[key] = t_ops = (tr, ti)
     tr, ti = (jnp.asarray(t) for t in t_ops)
     wr, wi = jnp.real(win), jnp.imag(win)
+    if mm_dtype is not None:
+        # reduced-precision MXU inputs (f32 accumulation): ~0.1% score noise,
+        # several x faster than f32 matmuls on TPU — fine for arbitration
+        # scores, do not use on the decode data path
+        tr, ti = tr.astype(mm_dtype), ti.astype(mm_dtype)
+        wr, wi = wr.astype(mm_dtype), wi.astype(mm_dtype)
     mm = lambda a, t: jnp.einsum("bnw,wk->bnk", a, t,
                                  preferred_element_type=jnp.float32)
     re = mm(wr, tr) - mm(wi, ti)

@@ -181,7 +181,10 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         n_off = n_cand + (lp - 1) * s
         filt = np.conj(bank).reshape(a * lp, s)
         from mercury_tpu.dsp import ops as _ops
-        c_re, c_im = _ops.corr_valid_mm_multi(seg, filt, n_off)
+        # bf16 MXU inputs on accelerators: the scores only arbitrate
+        # (candidate x alias), ~0.1% noise does not move the argmax
+        mmd = None if jax.default_backend() == "cpu" else jnp.bfloat16
+        c_re, c_im = _ops.corr_valid_mm_multi(seg, filt, n_off, mm_dtype=mmd)
         c_all = (c_re.reshape(seg.shape[0], a, lp, n_off),
                  c_im.reshape(seg.shape[0], a, lp, n_off))
 
