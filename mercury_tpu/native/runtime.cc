@@ -231,3 +231,86 @@ long rt_shm_size(rt_shm *s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sanitizer self-test (the TPU-native equivalent of the reference's
+// build.sh asan/ubsan modes, README.md:60-67): build with
+//   g++ -std=c++17 -O1 -g -fsanitize=address,undefined -DRT_SELFTEST \
+//       runtime.cc -o rt_selftest -lpthread -lrt
+// and run; exercises the ring and sliding-window protocols across threads
+// under the sanitizers (tests/test_native.py::test_sanitized_selftest).
+#ifdef RT_SELFTEST
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+int main() {
+  // ring: producer/consumer across threads, data integrity
+  rt_ring *ring = rt_ring_create(4096);
+  const size_t total = 100000;
+  std::thread prod([&] {
+    std::vector<float> buf(337);
+    size_t sent = 0;
+    while (sent < total) {
+      size_t n = std::min(buf.size(), total - sent);
+      for (size_t i = 0; i < n; i++) buf[i] = (float)(sent + i);
+      size_t w = rt_ring_write(ring, buf.data(), n);
+      sent += w;
+      if (w == 0) std::this_thread::yield();
+    }
+  });
+  size_t got = 0;
+  std::vector<float> rbuf(501);
+  while (got < total) {
+    size_t n = rt_ring_read(ring, rbuf.data(), rbuf.size(), 100);
+    for (size_t i = 0; i < n; i++) {
+      if (rbuf[i] != (float)(got + i)) {
+        std::fprintf(stderr, "ring data mismatch at %zu\n", got + i);
+        return 1;
+      }
+    }
+    got += n;
+  }
+  prod.join();
+  rt_ring_destroy(ring);
+
+  // sliding window: capture-prep protocol (push one symbol at a time,
+  // snapshot under the countdown gate) with a concurrent reader
+  const size_t sym = 256, nsym = 8;
+  rt_window *w = rt_window_create(sym * nsym, sym);
+  rt_window_arm(w, (int)nsym);
+  std::thread reader([&] {
+    std::vector<float> snap(sym * nsym);
+    for (int k = 0; k < 50; k++) {
+      if (rt_window_ready(w)) {
+        if (rt_window_snapshot(w, snap.data())) rt_window_arm(w, 2);
+      }
+      std::this_thread::yield();
+    }
+  });
+  std::vector<float> s(sym);
+  for (int k = 0; k < 200; k++) {
+    for (size_t i = 0; i < sym; i++) s[i] = (float)(k * sym + i);
+    rt_window_push(w, s.data(), sym);
+  }
+  reader.join();
+  rt_window_destroy(w);
+
+  // shm ring: write/read through the POSIX shared-memory circular buffer
+  rt_shm *a = rt_shm_open("/mercury-rt-selftest", 1 << 12, 1);
+  rt_shm *b = rt_shm_open("/mercury-rt-selftest", 1 << 12, 0);
+  if (!a || !b) { std::fprintf(stderr, "shm open failed\n"); return 1; }
+  uint8_t msg[300], back[300];
+  for (int i = 0; i < 300; i++) msg[i] = (uint8_t)(i * 7);
+  for (int round = 0; round < 40; round++) {
+    if (rt_shm_write(a, msg, sizeof msg) != (long)sizeof msg) return 1;
+    if (rt_shm_read(b, back, sizeof back) != (long)sizeof back) return 1;
+    for (int i = 0; i < 300; i++)
+      if (back[i] != msg[i]) { std::fprintf(stderr, "shm mismatch\n"); return 1; }
+  }
+  rt_shm_close(a);
+  rt_shm_close(b);
+  std::puts("rt_selftest OK");
+  return 0;
+}
+#endif  // RT_SELFTEST

@@ -106,3 +106,28 @@ def test_streaming_decode_through_native_window():
                 break
             w.arm(frames_to_read=4)   # slide 4 more symbols and retry
     assert decoded
+
+
+def test_sanitized_selftest(tmp_path):
+    """Build the native runtime's RT_SELFTEST main under ASan+UBSan and run
+    it: the ring / sliding-window / shm protocols must be clean under the
+    sanitizers (the reference's build.sh asan/ubsan modes, README.md:60-67)."""
+    import pathlib
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        import pytest
+        pytest.skip("no g++ toolchain")
+    src = (pathlib.Path(__file__).resolve().parents[1]
+           / "mercury_tpu" / "native" / "runtime.cc")
+    exe = tmp_path / "rt_selftest"
+    subprocess.run(
+        ["g++", "-std=c++17", "-O1", "-g", "-fsanitize=address,undefined",
+         "-fno-sanitize-recover=all", "-DRT_SELFTEST", str(src),
+         "-o", str(exe), "-lpthread", "-lrt"],
+        check=True)
+    out = subprocess.run([str(exe)], capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "rt_selftest OK" in out.stdout
