@@ -285,8 +285,9 @@ def corr_valid_mm_multi(x: jnp.ndarray, filt: np.ndarray, n_out: int,
 
 
 def box_sum_valid(x: jnp.ndarray, length: int, n_out: int,
-                  use_mm: bool = True) -> jnp.ndarray:
-    """Sliding-window sums S[j] = sum_{k<length} x[..., j+k] for j < n_out.
+                  use_mm: bool = True, stride: int = 1) -> jnp.ndarray:
+    """Strided sliding-window sums S[j] = sum_{k<length} x[..., j*stride+k]
+    for j < n_out.
 
     use_mm routes through the banded-Toeplitz matmul (MXU path — preferred on
     TPU); otherwise a prefix-sum difference (faster on CPU, but subject to
@@ -294,14 +295,15 @@ def box_sum_valid(x: jnp.ndarray, length: int, n_out: int,
     passes.
     """
     if jnp.iscomplexobj(x):
-        return (box_sum_valid(x.real, length, n_out, use_mm)
-                + 1j * box_sum_valid(x.imag, length, n_out, use_mm))
+        return (box_sum_valid(x.real, length, n_out, use_mm, stride)
+                + 1j * box_sum_valid(x.imag, length, n_out, use_mm, stride))
     if use_mm and x.dtype != jnp.float64:   # the matmul path is f32-only
         ones = np.ones(length, dtype=np.float32)
-        return _fir_decimate_valid_mm(x, ones, 1, n_out, k_blk=256)
+        return _fir_decimate_valid_mm(x, ones, stride, n_out, k_blk=256)
     c = jnp.cumsum(x, axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
-    return c[..., length: length + n_out] - c[..., :n_out]
+    idx0 = stride * jnp.arange(n_out)
+    return c[..., length:][..., idx0] - c[..., idx0]
 
 
 def linear_interp(x: jnp.ndarray, rate: int) -> jnp.ndarray:

@@ -418,9 +418,16 @@ class RxChain:
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
                                 metric, mean_h)
 
-            met, cfo_arr = sync.schmidl_cox_metric(bb_ts, g, decim=ts_dec)
+            # candidate grid: every 4th base-rate offset (16 interp
+            # samples) — the SC plateau is a GI wide and the MF refinement
+            # searches +-2 symbols around each candidate, so nothing is
+            # lost (the reference scans at step=100 interp samples)
+            sc_scan = 4 if (g.ngi % 4 == 0 and g.nfft % 8 == 0) else 1
+            cand_step = ts_dec * sc_scan
+            met, cfo_arr = sync.schmidl_cox_metric(bb_ts, g, decim=ts_dec,
+                                                   scan=sc_scan)
             if sync_limit is not None:
-                pos_i = jnp.arange(met.shape[-1]) * ts_dec
+                pos_i = jnp.arange(met.shape[-1]) * cand_step
                 met = jnp.where(pos_i[None] >= sync_limit, 0.0, met)
             # Top-K SC candidates with one-preamble-symbol suppression: the
             # normalized SC metric can score a *partial* preamble at a window
@@ -430,18 +437,18 @@ class RxChain:
             # telecom_system.cc:805-924). The known-preamble matched filter
             # is immune, so it arbitrates among the SC candidates.
             n_k = 3 if self.cfo_range == "wide" else 2
-            sym_dec = (g.nofdm * g.interp) // ts_dec
+            sym_cand = max((g.nofdm * g.interp) // cand_step, 1)
             met_work = met
             cand_list, cfo_list, metric_list = [], [], []
             for _k in range(n_k):
                 idx_k = jnp.argmax(met_work, axis=-1)
-                cand_list.append((idx_k * ts_dec).astype(jnp.int32))
+                cand_list.append((idx_k * cand_step).astype(jnp.int32))
                 metric_list.append(
                     jnp.take_along_axis(met, idx_k[:, None], axis=-1)[:, 0])
                 cfo_list.append(jnp.take_along_axis(
                     cfo_arr, idx_k[:, None], axis=-1)[:, 0].astype(self.real_dtype))
                 pos = jnp.arange(met.shape[-1])
-                suppress = jnp.abs(pos[None, :] - idx_k[:, None]) < sym_dec
+                suppress = jnp.abs(pos[None, :] - idx_k[:, None]) < sym_cand
                 met_work = jnp.where(suppress, -1.0, met_work)
             metric = metric_list[0]
             if stage == "sync":

@@ -29,14 +29,19 @@ def _comb(prefix: jnp.ndarray, n_sections: int, stride: int, out_len: int) -> jn
 
 def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
                        decim: int = 1,
-                       use_mm: bool | None = None) -> jnp.ndarray:
+                       use_mm: bool | None = None,
+                       scan: int = 1) -> jnp.ndarray:
     """Normalized Schmidl-Cox correlation for every candidate start offset.
 
     bb: baseband [B, n] at interp rate divided by `decim` (the time-sync FIR
     bandlimits to <1.1 kHz, so a 2x-decimated search loses nothing but a
     sample of timing resolution that the matched-filter refinement restores).
     Returns metric [B, n_cand]; candidate i corresponds to interp-rate offset
-    i*decim. Matches the reference time_sync_preamble metric: GI-lag and
+    i*decim*scan. `scan` strides the candidate grid (the metric plateau is
+    one GI wide and the matched-filter refinement re-localizes within +-2
+    symbols, so scanning every 4th offset loses nothing — the reference
+    scans at step=100 interp samples); all window offsets must divide by
+    scan, asserted below. Matches the reference time_sync_preamble metric: GI-lag and
     half-symbol-lag correlations summed over the preamble symbols, normalized
     by sqrt(norm_a * norm_b); near-zero-energy windows are zeroed
     (norm < 0.001 guard, ofdm.cc:1813-1816).
@@ -57,6 +62,10 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
     lp = geom.preamble_nsymb
     n = bb.shape[-1]
     n_cand = max(n - lp * s, 1)
+    assert scan == 1 or (s % scan == 0 and ngi_r % scan == 0
+                         and nfft_r % scan == 0 and half_r % scan == 0), scan
+    n_scan = -(-n_cand // scan)
+    s_c = s // scan
 
     # Complex lag products: a carrier offset rotates each lag correlation by
     # a fixed phase (2π·Δf·lag/fs), so taking |·| per lag type makes the
@@ -75,19 +84,23 @@ def schmidl_cox_metric(bb: jnp.ndarray, geom: ModeGeometry,
     # ea[j]  = Σ_{k<ngi+half} e[j+k]       (norm_a energy window)
     # eb1[j] = Σ_{k<ngi}  e[j+k]           (norm_b part 1, at offset nfft)
     # eb2[j] = Σ_{k<half} e[j+k]           (norm_b part 2, at offset ngi+half)
-    b1 = _ops.box_sum_valid(p1, ngi_r, n_cand + comb_span, use_mm)
-    b2 = _ops.box_sum_valid(p2, half_r, n_cand + comb_span + ngi_r, use_mm)
-    ea = _ops.box_sum_valid(e, ngi_r + half_r, n_cand + comb_span, use_mm)
-    eb1 = _ops.box_sum_valid(e, ngi_r, n_cand + comb_span + nfft_r, use_mm)
+    cs = comb_span // scan
+    b1 = _ops.box_sum_valid(p1, ngi_r, n_scan + cs, use_mm, scan)
+    b2 = _ops.box_sum_valid(p2, half_r, n_scan + cs + ngi_r // scan,
+                            use_mm, scan)
+    ea = _ops.box_sum_valid(e, ngi_r + half_r, n_scan + cs, use_mm, scan)
+    eb1 = _ops.box_sum_valid(e, ngi_r, n_scan + cs + nfft_r // scan,
+                             use_mm, scan)
     eb2 = _ops.box_sum_valid(e, half_r,
-                             n_cand + comb_span + ngi_r + half_r, use_mm)
+                             n_scan + cs + (ngi_r + half_r) // scan,
+                             use_mm, scan)
 
-    out_len = n_cand
-    gi_c = _comb(b1, lp, s, out_len)
-    half_c = _comb(b2[..., ngi_r:], lp, s, out_len)
-    norm_a = _comb(ea, lp, s, out_len)
-    norm_b = (_comb(eb1[..., nfft_r:], lp, s, out_len)
-              + _comb(eb2[..., ngi_r + half_r:], lp, s, out_len))
+    out_len = n_scan
+    gi_c = _comb(b1, lp, s_c, out_len)
+    half_c = _comb(b2[..., ngi_r // scan:], lp, s_c, out_len)
+    norm_a = _comb(ea, lp, s_c, out_len)
+    norm_b = (_comb(eb1[..., nfft_r // scan:], lp, s_c, out_len)
+              + _comb(eb2[..., (ngi_r + half_r) // scan:], lp, s_c, out_len))
     gi_num = jnp.abs(gi_c)
     half_num = jnp.abs(half_c)
     corr = gi_num + half_num
