@@ -73,6 +73,14 @@ def test_box_sum_valid_mm_parity(length):
         np.asarray(short),
         np.asarray(ops.box_sum_valid(jnp.asarray(x.real), length, 100,
                                      use_mm=False)), atol=2e-4 * length)
+    # strided candidate grid (scan=4 in the rx sync): S[j] = sum at 4j
+    dense = ops.box_sum_valid(jnp.asarray(x.real), length, 801, use_mm=False)
+    for mm in (False, True):
+        strided = ops.box_sum_valid(jnp.asarray(x.real), length, 200,
+                                    use_mm=mm, stride=4)
+        np.testing.assert_allclose(np.asarray(strided),
+                                   np.asarray(dense)[..., ::4][..., :200],
+                                   atol=2e-4 * length)
 
 
 def test_fir_same_strided_mix_mm_parity():
