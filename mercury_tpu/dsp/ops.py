@@ -252,7 +252,7 @@ def corr_valid_mm_multi(x: jnp.ndarray, filt: np.ndarray, n_out: int,
     idx = (np.arange(nb)[:, None] * blk + np.arange(w)[None, :]).astype(np.int32)
     win = x[:, jnp.asarray(idx)]                           # [B, nb, W] complex
 
-    key = (filt.tobytes(), blk)
+    key = (filt.tobytes(), filt.shape, str(filt.dtype), blk)
     t_ops = _corr_bank_cache.get(key)
     if t_ops is None:
         tr = np.zeros((w, f_n * blk), np.float32)

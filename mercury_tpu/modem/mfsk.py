@@ -31,7 +31,7 @@ def mod(bits: jnp.ndarray, p: MfskParams, nc: int, nsymb: int,
     Reference: cl_mfsk::mod (mfsk.cc:251-302). Amplitude sqrt(Nc/nStreams)
     on the active tone of each stream; tone hopping (idx + s*hop) % M.
     """
-    amp = np.sqrt(nc / p.nstreams)
+    amp = float(np.sqrt(nc / p.nstreams))  # python float: keeps grid dtype
     bps = p.nbits * p.nstreams
     groups = bits.reshape(*bits.shape[:-1], nsymb, p.nstreams, p.nbits)
     powers = jnp.asarray(2 ** np.arange(p.nbits)[::-1].copy(), dtype=jnp.int32)

@@ -74,8 +74,10 @@ def time_sharded_receive(rx_chain, mesh: Mesh, time_axis: str = "t",
     over the mesh; every chip extends its slice with a right halo (one frame
     + margin) from its neighbour via ppermute, runs the complete receive
     program (sync + CFO + demod + LDPC) on the extended window, and claims
-    only frames that *start* inside its own slice — each frame is decoded by
-    exactly one chip, seams included.
+    only frames that *start* inside its own slice — a frame seam never splits
+    a decode. receive_fn returns one frame per window, so each slice must
+    contain at most ONE frame start (slice length on the order of the frame
+    spacing); denser streams belong to modem.stream.StreamReceiver.
 
     Returns a jitted f(pb [B, N]) -> RxResult with leading shard axis
     [n_dev, B]; `delay` is globalized to stream sample offsets and `crc_ok`

@@ -150,6 +150,37 @@ def test_matched_filter_bank_mm_parity():
     assert int(np.asarray(d_mm)[3, 1]) == 100
 
 
+def test_matched_filter_bank_mm_parity_low_snr():
+    """ADVICE r1: the bf16 MXU scores also arbitrate the refined sync delay.
+    At near-threshold SNR (template amplitude ~ noise std) the mm path must
+    still pick the same lag as the f32 FFT path — a one-step disagreement
+    here would shift frame slicing by mf_d samples on the decode path."""
+    from mercury_tpu.modem import sync
+
+    rng = np.random.default_rng(11)
+    lp, s = 4, 136
+    bank = (rng.standard_normal((3, lp, s))
+            + 1j * rng.standard_normal((3, lp, s))).astype(np.complex64)
+    bank /= np.sqrt(np.mean(np.abs(bank) ** 2))
+    window = 272
+    seg_len = 2 * window + lp * s
+    n_trials = 32
+    seg = (rng.standard_normal((n_trials, seg_len))
+           + 1j * rng.standard_normal((n_trials, seg_len))).astype(np.complex64)
+    lags = rng.integers(0, 2 * window, n_trials)
+    tmpl_cat = bank[1].reshape(-1)
+    for i in range(n_trials):
+        # amplitude 0.55x noise std: post-correlation SNR ~ threshold
+        seg[i, lags[i]: lags[i] + lp * s] += 0.55 * tmpl_cat
+    seg_j = jnp.asarray(seg)
+    start = jnp.zeros(n_trials, jnp.int32)
+    d_fft, _ = sync.matched_filter_refine_bank(seg_j, start, bank, window,
+                                               use_mm=False)
+    d_mm, _ = sync.matched_filter_refine_bank(seg_j, start, bank, window,
+                                              use_mm=True)
+    np.testing.assert_array_equal(np.asarray(d_fft), np.asarray(d_mm))
+
+
 @pytest.mark.parametrize("decim", [1, 4])
 def test_schmidl_cox_mm_matches_cumsum(decim):
     """schmidl_cox_metric: the MXU box-sum route and the prefix-sum route

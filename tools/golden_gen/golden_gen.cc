@@ -302,6 +302,25 @@ int main(int argc, char **argv) {
     return 0;
   }
 
+  // Baseband BER oracle: the reference's own baseband Monte-Carlo test
+  // (telecom_system.cc baseband_test_EsN0 — no sync/preamble/CRC; clean
+  // per-carrier Es/N0 convention). Used to pin down which convention the
+  // documented Es/N0@FER<0.1 table (common_defines.h:129-148) is in.
+  if (std::string(argv[1]) == "berbb" && argc >= 5) {
+    static cl_telecom_system ts;
+    ts.operation_mode = ARQ_MODE;
+    int cfg = atoi(argv[2]);
+    float esn0 = atof(argv[3]);
+    int nframes = atoi(argv[4]);
+    ts.load_configuration(cfg);
+    cl_error_rate er = ts.baseband_test_EsN0(esn0, nframes);
+    printf("BERBB_RESULT cfg=%d esn0=%.2f frames=%.0f ferrors=%.0f fer=%.4f ber=%.6f\n",
+           cfg, esn0, er.Frames_total, er.Error_frames_total,
+           er.Error_frames_total / er.Frames_total,
+           er.Error_bits_total / er.Bits_total);
+    return 0;
+  }
+
   // BER harness mode: run the reference's own passband Monte-Carlo test.
   if (std::string(argv[1]) == "ber" && argc >= 5) {
     static cl_telecom_system ts;
