@@ -308,6 +308,37 @@ class ModeGeometry:
         """Baseband samples per frame (preamble + data) before interpolation."""
         return self.nofdm * (self.nsymb + self.preamble_nsymb)
 
+    # --- rate/duration parameters (reference calculate_parameters,
+    # telecom_system.cc:1543-1570; per-density bitrates common_defines.h:150-189)
+    def _rate_terms(self) -> tuple[float, float]:
+        if self.spec.is_mfsk:
+            return float(self.nsymb), float(self.mfsk.nbits * self.mfsk.nstreams)
+        return float(self.n_data), float(np.log2(self.spec.modulation))
+
+    @property
+    def tf_seconds(self) -> float:
+        """Frame duration Tf = Ts * (Nsymb + preamble_Nsymb)."""
+        tu = self.nc / self.bandwidth
+        ts = tu * (1.0 + self.ngi / self.nfft)
+        return ts * (self.nsymb + self.preamble_nsymb)
+
+    @property
+    def ldpc_real_cr(self) -> float:
+        """Effective code rate incl. CRC16 outer code and virtual bits."""
+        n_eff, log2m = self._rate_terms()
+        return (n_eff * log2m - self.ldpc_p - 16.0) / (n_eff * log2m)
+
+    @property
+    def rb(self) -> float:
+        """Gross bitrate (bps) over the air."""
+        n_eff, log2m = self._rate_terms()
+        return n_eff * log2m / self.tf_seconds
+
+    @property
+    def rbc(self) -> float:
+        """Net payload bitrate (bps), excl. LDPC parity and CRC16."""
+        return self.rb * self.ldpc_real_cr
+
 
 def _compute_pre_eq(rng: GlibcRandom, nc: int, nfft: int, ngi: int, mlog2: int,
                     const: np.ndarray, fir_tx1: np.ndarray, fir_tx2: np.ndarray,

@@ -25,11 +25,14 @@ class ChannelModel:
     drop_blocks: tuple = ()          # block indices the channel swallows
     snr_schedule: object = None      # callable sim_time_s -> snr_db | None
                                      # (overrides snr_db; noise-burst stress)
+    mutilate: object = None          # callable (block_idx, samples)->samples:
+                                     # surgical per-frame corruption injection
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
         self._block_counter = 0
         self.now_s = 0.0             # set by the simulator before apply()
+        self.src = None              # transmitting node, set by the simulator
 
     def apply(self, samples: np.ndarray) -> np.ndarray:
         idx = self._block_counter
@@ -38,6 +41,8 @@ class ChannelModel:
             self.snr_db = self.snr_schedule(self.now_s)
         if idx in self.drop_blocks:
             return np.zeros_like(samples, dtype=np.float32)
+        if self.mutilate is not None:
+            samples = self.mutilate(idx, samples)
         out = samples.astype(np.float64)
         if self.cfo_hz:
             from mercury_tpu.channel import sim as csim
@@ -67,6 +72,7 @@ class LinkSimulator:
     def _deliver(self, src: ArqNode, dst: ArqNode, block: np.ndarray) -> None:
         duration_ms = 1000.0 * len(block) / 48000.0
         self.channel.now_s = self.now / 1000.0
+        self.channel.src = src
         rx = self.channel.apply(block)
         self.now += duration_ms + self.turnaround_ms
         dst.on_samples(rx, self.now)

@@ -30,8 +30,10 @@ _DTYPES = {"int32": np.int32, "float64": np.float64,
 
 class GoldenStore:
     def __init__(self):
-        with open(GOLDEN / "meta.json") as f:
-            self.meta = json.load(f)
+        self.meta = {}
+        for meta_file in sorted(GOLDEN.glob("meta*.json")):
+            with open(meta_file) as f:
+                self.meta.update(json.load(f))
 
     def __call__(self, name: str) -> np.ndarray:
         info = self.meta[name]

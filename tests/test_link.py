@@ -182,6 +182,152 @@ def test_wrong_callsign_no_connect():
     assert cmd.link_status != P.CONNECTED
 
 
+def test_selective_ack_resends_only_missing_frame():
+    """A 5-message block with exactly one corrupted frame is recovered by an
+    ACK_MULTI/ACK_RANGE selective acknowledgement: the commander retransmits
+    exactly the one missing message, not the whole block (VERDICT r1 #2;
+    reference: arq_responder.cc:487-631, arq_commander.cc:897-1133)."""
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=False, batch_size=5)
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    frame_len = a.geom.total_frame_size
+
+    def kill_frame_2(idx, samples):
+        # block 2 is the first data block (0=START ctrl, 1=conn-ack pattern);
+        # zero message id=2's span inside the concatenated batch
+        if idx == 2:
+            samples = samples.copy()
+            samples[2 * frame_len: 3 * frame_len] = 0.0
+        return samples
+
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=20, mutilate=kill_frame_2))
+    payload = bytes(np.random.default_rng(9).integers(0, 256, 5 * a.max_data_length)
+                    .astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=900, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert a.stats.resent_data == 1              # exactly ONE frame resent
+    assert b.stats.selective_acks_sent >= 1
+    assert a.stats.selective_acks_received >= 1
+    assert a.stats.blocks_acked >= 1
+
+
+def test_gearshift_down_on_success_rate():
+    """Persistent partial frame loss drives the block success rate below the
+    45% threshold: the commander downshifts ONE ladder step via SET_CONFIG —
+    no BREAK, no drop to the floor (VERDICT r1 #3; reference:
+    datalink_config.cc:48-49, arq_commander.cc:1353-1370)."""
+    cfg = ArqConfig(init_configuration=8, gear_shift_on=True,
+                    robust_enabled=False, batch_size=3,
+                    frame_shift_threshold=100)   # keep upshift out of the way
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+
+    state = {"downshifted": False}
+    chan = ChannelModel(snr_db=20)
+
+    def lossy_until_downshift(idx, samples):
+        # corrupt 2 of 3 data frames in every commander data block until the
+        # commander moves off config 8 — success 1-2/3 = 33% < 45% forces
+        # the one-step downshift
+        if chan.src is not a:
+            return samples               # responder ACK frames pass clean
+        if a.current_configuration != 8:
+            state["downshifted"] = True
+            return samples
+        frame_len = a.geom.total_frame_size
+        n_frames = int(round(len(samples) / frame_len))
+        if n_frames < 4:                 # control frames / resends pass
+            return samples
+        samples = samples.copy()
+        samples[0:frame_len] = 0.0
+        samples[frame_len:2 * frame_len] = 0.0
+        return samples
+
+    chan.mutilate = lossy_until_downshift
+    sim = LinkSimulator(a, b, chan)
+    # three full blocks: the first completes lossily (33% success), the
+    # downshift fires before the second, the rest flow clean at config 7
+    payload = bytes(np.random.default_rng(3).integers(0, 256, 9 * a.max_data_length)
+                    .astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=1800, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert state["downshifted"]
+    assert a.stats.gearshift_downs >= 1
+    assert a.stats.breaks_sent == 0              # graceful, not a BREAK
+    assert a.current_configuration == 7          # exactly one step down
+    assert b.current_configuration == a.current_configuration
+
+
+def test_failed_upshift_doubles_threshold_and_steps_back():
+    """An upshift whose first data block gets no answer triggers an immediate
+    one-step BREAK-down and doubles the shift threshold (VERDICT r1 #5;
+    reference: arq_commander.cc:1000-1045 frame_gearshift_just_applied,
+    frame_shift_threshold *= 2)."""
+    cfg = ArqConfig(init_configuration=6, gear_shift_on=True,
+                    robust_enabled=False, batch_size=2,
+                    frame_shift_threshold=2)
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg)
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+
+    def ceiling_at_6(idx, samples):
+        # any transmission while the commander sits above config 6 vanishes
+        # (the channel can't pass the denser mode)
+        if a.current_configuration > 6:
+            return np.zeros_like(samples)
+        return samples
+
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=20, mutilate=ceiling_at_6))
+    payload = bytes(np.random.default_rng(4).integers(0, 256, 8 * a.max_data_length)
+                    .astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=2400, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert a.frame_shift_threshold >= 4          # doubled at least once
+    assert a.stats.breaks_sent >= 1
+    assert a.current_configuration == 6          # recovered one step below 7
+    assert b.current_configuration == 6
+
+
+def test_snr_seeded_turboshift_jumps():
+    """With a strong channel, the turboshift seeds its first candidate from
+    the responder-reported SNR via the get_configuration ladder instead of
+    climbing step by step (VERDICT r1 #3; reference SNR_BASED gearshift,
+    telecom_system.cc:3036-3106)."""
+    cfg = ArqConfig(init_configuration=0, gear_shift_on=True,
+                    robust_enabled=False, batch_size=3, turboshift=True)
+    events = []
+    a = ArqNode("VE3XYZ", P.COMMANDER, cfg, on_event=lambda e: events.append(e))
+    b = ArqNode("N0CALL", P.RESPONDER, cfg)
+    sim = LinkSimulator(a, b, ChannelModel(snr_db=25, seed=6))
+    payload = bytes(np.random.default_rng(8).integers(0, 256, 300).astype(np.uint8))
+    a.send_data(payload)
+    a.connect("N0CALL")
+    sim.run(max_sim_s=1800, until=lambda: len(b.fifo_rx) >= len(payload))
+    assert b.received() == payload
+    assert any(e.startswith("TURBO SEED") for e in events)
+    assert a.current_configuration >= 8
+    assert a.current_configuration == b.current_configuration
+    # seeding means few SET probes: seeded jump + at most a couple of
+    # incremental confirms, not the full 15-step ladder
+    assert a.stats.gearshift_ups <= 6
+
+
+def test_arq_node_state_hygiene():
+    """VERDICT r1 #8: every state field initialized in __init__ — no lazy
+    getattr(self, ...) defaults anywhere in the module."""
+    import inspect
+
+    import mercury_tpu.link.node as node_mod
+
+    src = inspect.getsource(node_mod)
+    assert "getattr(self" not in src
+
+
 def test_reverse_turboshift_after_switch_role():
     """After SWITCH_ROLE the new commander probes the ladder in its own
     (previously untested) direction before sending its queued data."""
@@ -202,7 +348,9 @@ def test_reverse_turboshift_after_switch_role():
     a.switch_role()
     sim.run(max_sim_s=1800, until=lambda: len(a.fifo_rx) >= len(rev))
     assert a.received() == rev
-    # the reverse direction probed upward from where the link sat
-    assert any("B TURBO START" in e for e in events)
+    # the reverse direction either probed upward itself (TURBO START) or was
+    # pre-negotiated via the SET_CONFIG reverse byte / SWITCH_ROLE carry
+    # (REVERSE CONFIG) — both end with the reverse path above the initial cfg
+    assert any("B TURBO START" in e or "REVERSE CONFIG" in e for e in events)
     assert b.current_configuration > 4
     assert a.current_configuration == b.current_configuration

@@ -7,32 +7,39 @@ import numpy as np
 import pytest
 
 from mercury_tpu.core.geometry import build_geometry
+from mercury_tpu.core.modes import HIGH_DENSITY, LOW_DENSITY
 from mercury_tpu.modem.tx import TxChain
 
 ALL_CFGS = list(range(17)) + [100, 101, 102]
+CFG_DENS = [(c, HIGH_DENSITY) for c in ALL_CFGS] + \
+           [(c, LOW_DENSITY) for c in ALL_CFGS]
 
 
 @pytest.fixture(scope="module")
 def chains():
     cache = {}
 
-    def get(cfg):
-        if cfg not in cache:
-            cache[cfg] = TxChain(build_geometry(cfg), real_dtype=jnp.float64)
-        return cache[cfg]
+    def get(cfg, density=HIGH_DENSITY):
+        if (cfg, density) not in cache:
+            cache[cfg, density] = TxChain(build_geometry(cfg, density),
+                                          real_dtype=jnp.float64)
+        return cache[cfg, density]
 
     return get
 
 
-@pytest.mark.parametrize("cfg", ALL_CFGS)
-def test_tx_passband_parity(golden, chains, cfg):
-    chain = chains(cfg)
-    payload = golden(f"cfg{cfg}_payload_bytes").astype(np.uint8)
+@pytest.mark.parametrize("cfg,density", CFG_DENS)
+def test_tx_passband_parity(golden, chains, cfg, density):
+    """Bit-exact-ish passband parity for all 20 modes x both pilot
+    densities (LOW_DENSITY tables: telecom_system.cc:1818-1876)."""
+    chain = chains(cfg, density)
+    t = f"cfg{cfg}ld" if density == LOW_DENSITY else f"cfg{cfg}"
+    payload = golden(f"{t}_payload_bytes").astype(np.uint8)
     nofilter = np.asarray(chain.transmit(payload[None], filtered=False))[0]
     single = np.asarray(chain.transmit(payload[None], filtered=True))[0]
-    np.testing.assert_allclose(nofilter, golden(f"cfg{cfg}_tx_passband_nofilter"),
+    np.testing.assert_allclose(nofilter, golden(f"{t}_tx_passband_nofilter"),
                                atol=5e-10)
-    np.testing.assert_allclose(single, golden(f"cfg{cfg}_tx_passband_single"),
+    np.testing.assert_allclose(single, golden(f"{t}_tx_passband_single"),
                                atol=5e-10)
 
 

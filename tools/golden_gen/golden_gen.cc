@@ -337,26 +337,35 @@ int main(int argc, char **argv) {
     return 0;
   }
   g_outdir = argv[1];
-  std::string meta_path = g_outdir + "/meta.json";
+  // low-density mode: `golden_gen <outdir> low [cfg...]` dumps the same
+  // per-config vectors with LOW_DENSITY pilots under a `cfg<N>ld_` prefix
+  // into meta_low.json (reference density tables: telecom_system.cc:1818-1876)
+  bool low_density = (argc > 2 && std::string(argv[2]) == "low");
+  int first_cfg_arg = low_density ? 3 : 2;
+  std::string meta_path = g_outdir + (low_density ? "/meta_low.json" : "/meta.json");
   g_meta = fopen(meta_path.c_str(), "w");
   fprintf(g_meta, "{\n");
 
-  dump_prng();
-  dump_ldpc_tables();
+  if (!low_density) {
+    dump_prng();
+    dump_ldpc_tables();
+  }
 
   static cl_telecom_system ts;
   ts.operation_mode = ARQ_MODE; // suppress pilot print
+  if (low_density)
+    ts.default_configurations_telecom_system.ofdm_pilot_density = LOW_DENSITY;
 
   std::vector<int> cfgs;
-  if (argc > 2) {
-    for (int i = 2; i < argc; i++) cfgs.push_back(atoi(argv[i]));
+  if (argc > first_cfg_arg) {
+    for (int i = first_cfg_arg; i < argc; i++) cfgs.push_back(atoi(argv[i]));
   } else {
     for (int c = 0; c <= 16; c++) cfgs.push_back(c);
     cfgs.push_back(100); cfgs.push_back(101); cfgs.push_back(102);
   }
   for (int c : cfgs) {
-    fprintf(stderr, "=== config %d ===\n", c);
-    dump_config(ts, c, std::to_string(c));
+    fprintf(stderr, "=== config %d%s ===\n", c, low_density ? " (low density)" : "");
+    dump_config(ts, c, std::to_string(c) + (low_density ? "ld" : ""));
   }
 
   fprintf(g_meta, "\n}\n");
