@@ -49,12 +49,14 @@ class BerSweep:
 class BerHarness:
     """Passband AWGN BER harness for one mode."""
 
-    def __init__(self, config: int, batch: int = 32, seed: int = 0):
-        self.geom = build_geometry(config)
+    def __init__(self, config: int, batch: int = 32, seed: int = 0,
+                 pilot_density: int = 0):
+        self.geom = build_geometry(config, pilot_density)
         self.tx = TxChain(self.geom)
         self.rx = RxChain(self.geom)
         self.batch = batch
         self.seed = seed
+        self._bb_step = None       # lazily-built jitted baseband MC step
         g = self.geom
         self.buf_len = g.nofdm * g.buffer_nsymb * g.interp
         # same delay structure as the reference harness
@@ -97,12 +99,10 @@ class BerHarness:
         return BerPoint(esn0_db, frames, frame_errors, bit_errors,
                         frames * payload_bits_per_frame)
 
-    def run_point_baseband(self, esn0_db: float,
-                           n_frames: int | None = None) -> BerPoint:
-        """Baseband Monte-Carlo (reference: baseband_test_EsN0,
-        telecom_system.cc:96-229): no preamble/sync/mixers/CRC/dispersal —
-        complex AWGN applied at the OFDM symbol level with the 1/sqrt(Nfft)
-        power normalization; isolates FEC + estimation + demapping."""
+    def _build_bb_step(self):
+        """One jitted baseband Monte-Carlo step over a fixed batch: complex
+        constants (pilots) close over as numpy so they become HLO literals —
+        the axon TPU backend cannot transfer complex arrays host<->device."""
         import jax.numpy as jnp
 
         from mercury_tpu.dsp import ops
@@ -110,53 +110,124 @@ class BerHarness:
         from mercury_tpu.modem import psk
 
         g = self.geom
-        if g.spec.is_mfsk:
-            raise ValueError("baseband harness is OFDM-only (reference parity)")
         tx, rx = self.tx, self.rx
         code = tx.code
-        n_frames = n_frames or self.batch
-        rng = np.random.default_rng(self.seed + 17)
-        sigma = 10 ** (-esn0_db / 20.0)
-        norm = np.sqrt(g.nfft)
-        frame_errors = bit_errors = frames = 0
         n_real = g.n_bits - g.ldpc_p
-        key = jax.random.key(int(esn0_db * 977) & 0x7FFFFFFF)
+        norm = float(np.sqrt(g.nfft))
+        pilots_np = g.pilot_seq.astype(np.complex64)
+        bit_perm = jnp.asarray(g.bit_perm)
+        tf_perm = jnp.asarray(g.tf_perm)
+        data_cells = jnp.asarray(g.data_cells)
+        pad_map = jnp.asarray(g.pad_map)
+        const = tx._const
 
-        while frames < n_frames:
-            b = min(self.batch, n_frames - frames)
-            bits = rng.integers(0, 2, (b, n_real))
-            u = np.concatenate([bits, bits[:, : g.n_virtual]], axis=-1)
-            cw = ldpc.encode(code, jnp.asarray(u))
-            tx_bits = jnp.concatenate(
-                [jnp.asarray(bits), cw[:, code.k:]], axis=-1)
-            inter = jnp.take(tx_bits, jnp.asarray(g.bit_perm), axis=-1)
-            syms = psk.mod(inter, tx._const)
-            syms = jnp.take(syms, jnp.asarray(g.tf_perm), axis=-1)
-            flat = jnp.zeros((b, g.nsymb * g.nc), dtype=tx.cdtype)
-            flat = flat.at[:, jnp.asarray(g.data_cells)].set(syms)
-            flat = flat.at[:, jnp.asarray(g.pilot_cells)].set(
-                jnp.asarray(g.pilot_seq.astype(np.complex64))[None])
+        def step(bits, sigma, key):
+            b = bits.shape[0]
+            u = jnp.concatenate([bits, bits[:, : g.n_virtual]], axis=-1)
+            cw = ldpc.encode(code, u)
+            tx_bits = jnp.concatenate([bits, cw[:, code.k:]], axis=-1)
+            inter = jnp.take(tx_bits, bit_perm, axis=-1)
+            syms = psk.mod(inter, const)
+            syms = jnp.take(syms, tf_perm, axis=-1)
+            flat = jnp.zeros((b, g.nsymb * g.nc), dtype=jnp.complex64)
+            flat = flat.at[:, data_cells].set(syms.astype(jnp.complex64))
+            flat = flat.at[:, jnp.asarray(g.pilot_cells)].set(pilots_np[None])
             grid = flat.reshape(b, g.nsymb, g.nc)
-            td = ops.ofdm_mod(grid, jnp.asarray(g.pad_map), g.nfft, g.ngi) / norm
-            key, sub = jax.random.split(key)
-            noise = (sigma / np.sqrt(2)) * (
-                jax.random.normal(sub, td.shape) +
-                1j * jax.random.normal(jax.random.fold_in(sub, 1), td.shape))
+            td = ops.ofdm_mod(grid, pad_map, g.nfft, g.ngi) / norm
+            k1, k2 = jax.random.split(key)
+            noise = (sigma / np.float32(np.sqrt(2))) * (
+                jax.random.normal(k1, td.shape)
+                + 1j * jax.random.normal(k2, td.shape))
             rx_td = (td + noise) * norm
-            rx_grid = ops.ofdm_demod(rx_td, jnp.asarray(g.pad_map), g.nfft, g.ngi)
+            rx_grid = ops.ofdm_demod(rx_td, pad_map, g.nfft, g.ngi)
             llr, _snr, _mh, _d = rx.decode_ofdm(rx_grid)
             llr_n = jnp.concatenate([
                 llr[..., : n_real], llr[..., : g.n_virtual],
                 llr[..., n_real: n_real + g.ldpc_p]], axis=-1)
             dec, _it, _ok = ldpc.decode(llr_n.astype(jnp.float32),
                                         g.spec.ldpc_rate_num)
-            got = np.asarray(dec)[:, :n_real]
-            errs = (got != bits).sum(axis=-1)
+            return jnp.sum(dec[:, :n_real] != bits, axis=-1)
+
+        return jax.jit(step)
+
+    def run_point_baseband(self, esn0_db: float,
+                           n_frames: int | None = None) -> BerPoint:
+        """Baseband Monte-Carlo (reference: baseband_test_EsN0,
+        telecom_system.cc:96-229): no preamble/sync/mixers/CRC/dispersal —
+        complex AWGN applied at the OFDM symbol level with the 1/sqrt(Nfft)
+        power normalization; isolates FEC + estimation + demapping. The
+        Es/N0 parameter is the clean per-carrier convention (sigma =
+        10^(-EsN0/20) on 1/sqrt(Nfft)-normalized symbols), the same
+        convention as the documented Es/N0@FER<0.1 table
+        (common_defines.h:129-148) — verified against the reference's own
+        binary via `golden_gen berbb`."""
+        import jax.numpy as jnp
+
+        g = self.geom
+        if g.spec.is_mfsk:
+            raise ValueError("baseband harness is OFDM-only (reference parity)")
+        if self._bb_step is None:
+            self._bb_step = self._build_bb_step()
+        n_frames = n_frames or self.batch
+        rng = np.random.default_rng(self.seed + 17)
+        sigma = 10 ** (-esn0_db / 20.0)
+        frame_errors = bit_errors = frames = 0
+        n_real = g.n_bits - g.ldpc_p
+        key = jax.random.key(int(abs(esn0_db) * 977 + 13) & 0x7FFFFFFF)
+
+        while frames < n_frames:
+            b = self.batch                  # fixed shape: no tail recompile
+            bits = rng.integers(0, 2, (b, n_real)).astype(np.int32)
+            key, sub = jax.random.split(key)
+            errs = np.asarray(self._bb_step(jnp.asarray(bits),
+                                            jnp.float32(sigma), sub))
+            take = min(b, n_frames - frames)
+            errs = errs[:take]
             frame_errors += int((errs > 0).sum())
             bit_errors += int(errs.sum())
-            frames += b
+            frames += take
         return BerPoint(esn0_db, frames, frame_errors, bit_errors,
                         frames * n_real)
+
+    def front_end_delta(self, n_noise: int = 32) -> float:
+        """Measured conversion between the passband harness's Es/N0
+        parameter and the effective per-carrier Es/N0 (the baseband/table
+        convention): delta = 10*log10(S/N) at parameter 0 dB, where S is the
+        mean data-cell power of the real TX frame after the RX front-end
+        (mix -> FIR -> decimate -> FFT) and N is the mean data-cell power of
+        unit-parameter passband noise (sigma=1 -> per-sample power 1/2)
+        through the same front-end. Effective Es/N0 = parameter + delta.
+
+        Decomposition (documented in docs/esn0_reconciliation.md): the
+        broadband->in-band factor 10*log10(f_nyq/BW) = +10.1 dB, TX power,
+        pilot/preamble boost share, and FIR passband gain."""
+        import jax.numpy as jnp
+
+        g = self.geom
+        rng = np.random.default_rng(self.seed + 99)
+        payload = rng.integers(0, 256, (1, g.frame_bytes)).astype(np.uint8)
+        pb = np.asarray(self.tx.transmit(payload))
+        pad = np.zeros((1, pb.shape[-1] + 4 * g.nofdm * g.interp), np.float32)
+        pad[:, : pb.shape[-1]] = pb
+        data_cells = jnp.asarray(g.data_cells)
+
+        # single jitted program returning a real scalar: the axon TPU
+        # backend cannot transfer complex arrays host<->device, and eager
+        # per-op dispatch over the tunnel is pathologically slow
+        @jax.jit
+        def mean_data_cell_power(x):
+            iq = self.rx.mix(x, 0.0)
+            fr = self.rx.extract_frame_decimated(
+                iq, jnp.zeros(x.shape[0], jnp.int32), self.rx.active_nsymb)
+            grid = self.rx.demod_grid(fr).reshape(x.shape[0], -1)
+            cells = jnp.take(grid, data_cells, axis=-1)
+            return jnp.mean(jnp.abs(cells) ** 2)
+
+        s_pow = float(mean_data_cell_power(jnp.asarray(pad)))
+        noise = (1.0 / np.sqrt(2.0)) * rng.standard_normal(
+            (n_noise, pad.shape[-1])).astype(np.float32)
+        n_pow = float(mean_data_cell_power(jnp.asarray(noise)))
+        return 10.0 * float(np.log10(s_pow / n_pow))
 
     def sweep(self, esn0_list, n_frames: int | None = None,
               early_exit_fer: float = 0.0, verbose: bool = False) -> BerSweep:

@@ -88,6 +88,29 @@ class RxChain:
             self._const = np.asarray(g.constellation, self.np_cdtype)
             self._bit_perm = jnp.asarray(g.bit_perm)
             self._tf_perm = jnp.asarray(g.tf_perm)
+            if g.spec.channel_estimator == ZERO_FORCE:
+                # Leave-one-out pilot smoother for the ZF noise estimate:
+                # each pilot's channel predicted from its k nearest pilot
+                # neighbours on the (symbol, carrier) lattice. The residual
+                # |h_meas - h_loo| isolates estimation noise even though the
+                # ZF estimate itself passes exactly through the measurements
+                # (a post-eq pilot residual is identically 0 for ZF, and the
+                # pre-eq residual absorbs the timing phase ramp — both are
+                # unusable as an LLR scale).
+                k_nn = 4
+                s_pil = (g.pilot_cells // g.nc).astype(np.float64)
+                c_pil = (g.pilot_cells % g.nc).astype(np.float64)
+                npil = len(g.pilot_cells)
+                # distance in lattice units; symbols weighted by Dy spacing
+                d2 = ((s_pil[:, None] - s_pil[None, :]) ** 2
+                      + (c_pil[:, None] - c_pil[None, :]) ** 2)
+                np.fill_diagonal(d2, np.inf)
+                s_loo = np.zeros((npil, npil), np.float64)
+                for i in range(npil):
+                    nn = np.argsort(d2[i])[:k_nn]
+                    s_loo[i, nn] = 1.0 / k_nn
+                self._loo_op = jnp.asarray(s_loo.astype(np.float32))
+                self._loo_scale = k_nn / (k_nn + 1.0)
             # CFO-hypothesis selection operators: the per-hypothesis metric
             # (pilot variance) needs only the pilot cells, so instead of a
             # full FFT demod per hypothesis the pilots are extracted with a
@@ -281,8 +304,29 @@ class RxChain:
         else:
             h_eq = h
         eq = flat / h_eq
-        eq_pil = jnp.take(eq, self._pilot_cells, axis=-1)
-        variance = jnp.mean(jnp.abs(eq_pil - self._pilot_seq) ** 2, axis=-1)
+        if g.spec.channel_estimator == ZERO_FORCE:
+            # ZF noise estimate via leave-one-out pilot smoothing: the ZF
+            # estimate passes exactly through the pilot measurements, so the
+            # post-eq pilot residual is identically ~0 — scaling LLRs by its
+            # inverse turns them into near-hard decisions and costs ~5-7 dB
+            # at 16QAM/32QAM rate-14/16 (found by the r2 BER campaign). The
+            # residual against the k-NN-predicted channel isolates the
+            # per-pilot noise; x k/(k+1) corrects the prediction's own noise.
+            h_meas = y_pil / self._pilot_seq
+            h_loo = ((h_meas.real @ self._loo_op.T)
+                     + 1j * (h_meas.imag @ self._loo_op.T))
+            resid = (h_meas - h_loo) * self._pilot_seq
+            variance = (jnp.mean(jnp.abs(resid) ** 2, axis=-1)
+                        * self._loo_scale)
+        else:
+            # LS: residual of the equalized pilots against the known
+            # sequence (the smoothed estimate does not pass through the
+            # measurements, so this is a proper noise measure — and unlike
+            # the reference's pre-eq measure_variance it does not absorb
+            # the sampling-offset phase ramp)
+            eq_pil = jnp.take(eq, self._pilot_cells, axis=-1)
+            variance = jnp.mean(jnp.abs(eq_pil - self._pilot_seq) ** 2,
+                                axis=-1)
         eq_full_pil = y_pil / h_pil
         var_full = jnp.mean(jnp.abs(eq_full_pil - self._pilot_seq) ** 2, axis=-1)
         return eq, variance, mean_h, var_full

@@ -36,6 +36,41 @@ def test_spa_decode_corrects_noise(rate):
     assert (np.asarray(bits)[:, :code.k] == u).all()
 
 
+@pytest.mark.parametrize("rate", [1, 4, 8, 14])
+def test_minsum_decode_corrects_noise(rate):
+    """Offset min-sum corrects the same noise levels the SPA test uses."""
+    code = load_code(rate)
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 2, (8, code.k))
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(u)))
+    sigma = {1: 1.5, 4: 1.0, 8: 0.75, 14: 0.45}[rate]
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = (2 / sigma ** 2 * y).astype(np.float32)
+    bits, iters, ok = ldpc.decode(jnp.asarray(llr), rate, algo="minsum")
+    assert np.asarray(ok).all()
+    assert (np.asarray(bits)[:, :code.k] == u).all()
+
+
+def test_minsum_ber_close_to_spa():
+    """At a near-threshold noise level, offset min-sum frame errors stay
+    within ~2x of SPA (the documented ~0.1-0.2 dB penalty), on the same
+    noise realizations."""
+    code = load_code(8)
+    rng = np.random.default_rng(11)
+    b = 64
+    u = rng.integers(0, 2, (b, code.k))
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(u)))
+    sigma = 0.87
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = (2 / sigma ** 2 * y).astype(np.float32)
+    bits_s, _i, _ok = ldpc.decode(jnp.asarray(llr), 8)
+    bits_m, _i, _ok = ldpc.decode(jnp.asarray(llr), 8, algo="minsum")
+    fe_spa = int(((np.asarray(bits_s)[:, :code.k] != u).sum(-1) > 0).sum())
+    fe_ms = int(((np.asarray(bits_m)[:, :code.k] != u).sum(-1) > 0).sum())
+    assert 0 < fe_spa < b          # the point is genuinely near threshold
+    assert fe_ms <= max(2 * fe_spa, fe_spa + 4)
+
+
 def test_spa_decode_clean_zero_iters():
     code = load_code(1)
     u = np.ones((2, code.k), dtype=np.int64)
