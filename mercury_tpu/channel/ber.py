@@ -67,7 +67,15 @@ class BerHarness:
         else:
             self.delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
 
-    def run_point(self, esn0_db: float, n_frames: int | None = None) -> BerPoint:
+    def run_point(self, esn0_db: float, n_frames: int | None = None,
+                  fixed_delay: bool = False) -> BerPoint:
+        """One passband Monte-Carlo point. fixed_delay=True bypasses time
+        sync and decodes at the known frame offset — the convention of the
+        reference's own MFSK passband test (mfsk_fixed_delay,
+        telecom_system.cc:663-673), whose documented −13/−11/−8 dB
+        waterfalls assume perfect sync."""
+        import jax.numpy as jnp
+
         g = self.geom
         n_frames = n_frames or self.batch
         rng = np.random.default_rng(self.seed + hash(esn0_db) % 65536)
@@ -90,7 +98,17 @@ class BerHarness:
             # false sync locks — match it so waterfall numbers are comparable
             buf = sim.awgn_passband(sub, tx_frames, sigma, self.delay,
                                     self.buf_len, fill="signal")
-            res = self.rx.receive(buf)
+            if fixed_delay:
+                delays = jnp.full(b, self.delay, jnp.int32)
+                freqs = jnp.zeros(b, jnp.float32)
+                payloads, _ok, _i, _s, _mh = self.rx.decode_at_jit(
+                    jnp.asarray(buf, jnp.float32), delays, freqs)
+
+                class _R:  # same shape as RxResult for the tail below
+                    payload = payloads
+                res = _R()
+            else:
+                res = self.rx.receive(buf)
             got = np.asarray(res.payload)
             errs = np.unpackbits(got ^ payload, axis=-1).sum(axis=-1)
             frame_errors += int((errs > 0).sum())

@@ -45,6 +45,44 @@ def channel_parallel_receive(rx_chain, mesh: Mesh, axis: str = "ch"):
     return jax.jit(rx_chain.receive_fn, in_shardings=(spec,))
 
 
+def weak_scaling_curve(rx_chain, device_counts=(1, 2, 4, 8),
+                       reps: int = 3) -> list[dict]:
+    """Weak-scaling measurement over the channel axis: one capture buffer
+    per device, samples/s vs device count, efficiency vs 1 device
+    (BASELINE: ">=80% linear samples/s scaling"). On the virtual CPU mesh
+    the absolute numbers share host cores — the curve tracks that the SPMD
+    partitioning itself introduces no serialization or collectives; on a
+    real multi-chip slice the same code measures true scaling."""
+    import time
+
+    g = rx_chain.geom
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    rng = np.random.default_rng(0)
+    avail = len(jax.devices())
+    out = []
+    base = None
+    for d in device_counts:
+        if d > avail:
+            break
+        mesh = make_mesh(d)
+        buf = rng.standard_normal((d, buf_len)).astype(np.float32)
+        run = channel_parallel_receive(rx_chain, mesh)
+        x = shard_batch(mesh, jnp.asarray(buf))
+        res = run(x)
+        jax.block_until_ready(res.payload)          # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = run(x)
+        jax.block_until_ready(res.payload)
+        dt = (time.perf_counter() - t0) / reps
+        sps = d * buf_len / dt
+        if base is None:
+            base = sps
+        out.append({"devices": d, "msamples_per_s": round(sps / 1e6, 2),
+                    "efficiency_vs_linear": round(sps / (base * d), 3)})
+    return out
+
+
 def halo_exchange(x_shard: jnp.ndarray, left: int, right: int,
                   axis_name: str) -> jnp.ndarray:
     """Overlap-save halo exchange inside shard_map: prepend `left` samples

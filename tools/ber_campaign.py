@@ -148,6 +148,9 @@ def main() -> int:
     if args.harness in ("all", "mfsk"):
         for c in MFSK_CFGS:
             jobs.append((c, "high", HIGH_DENSITY, "mfsk"))
+            # the reference's own MFSK test bypasses sync (mfsk_fixed_delay,
+            # telecom_system.cc:663-673) — measure that convention too
+            jobs.append((c, "high", HIGH_DENSITY, "mfsk_fixed"))
     if args.configs is not None:
         jobs = [j for j in jobs if j[0] in args.configs]
 
@@ -170,8 +173,12 @@ def main() -> int:
             run_fn = h.run_point
             start = (doc if doc is not None else 0.0) - delta - 2.0
             step, max_off = 0.5, 26.0
-        else:  # mfsk channel-SNR convention
-            run_fn = h.run_point
+        else:  # mfsk channel-SNR convention (sync-on or fixed-delay)
+            if harness == "mfsk_fixed":
+                import functools
+                run_fn = functools.partial(h.run_point, fixed_delay=True)
+            else:
+                run_fn = h.run_point
             start = (doc if doc is not None else -14.0) - 3.0
             step, max_off = 0.5, 20.0
 
