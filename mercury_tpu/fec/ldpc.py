@@ -168,7 +168,10 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
             # Exclusive min via (min1, min2, argmin); exclusive sign via the
             # total sign product times the edge's own sign (sign in {+-1}).
             absq = jnp.where(c_mask[None], jnp.abs(qe), jnp.inf)
-            sgn = jnp.where(c_mask[None] & (qe < 0), -1.0, 1.0)
+            # dtype pinned: where(mask, -1.0, 1.0) of two Python scalars
+            # materializes a *strong* f64 under jax_enable_x64 and would
+            # promote r_vals to f64 (scatter-into-f32 FutureWarning)
+            sgn = jnp.where(c_mask[None] & (qe < 0), -1.0, 1.0).astype(llr.dtype)
             i1 = jnp.argmin(absq, axis=-1)                      # [B, P]
             min1 = jnp.min(absq, axis=-1)
             slot = jnp.arange(cw)

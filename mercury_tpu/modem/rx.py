@@ -58,7 +58,8 @@ class RxChain:
     """
 
     def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
-                 ctrl: bool = False, cfo_range: str = "wide"):
+                 ctrl: bool = False, cfo_range: str = "wide",
+                 deep_sync: bool | None = None):
         self.geom = geom
         self.real_dtype = real_dtype
         if ctrl and not (geom.spec.is_mfsk and geom.spec.ctrl_nbits > 0):
@@ -66,6 +67,14 @@ class RxChain:
         if cfo_range not in ("wide", "narrow"):
             raise ValueError("cfo_range must be 'wide' or 'narrow'")
         self.cfo_range = cfo_range
+        if deep_sync is None:
+            # auto: the configs whose FEC waterfall sits below the blind
+            # Schmidl-Cox acquisition floor (~-3 dB effective per-carrier,
+            # docs/esn0_reconciliation.md §4) get the global known-preamble
+            # acquisition; everything else doesn't need it and keeps the
+            # cheaper coarse search (CONFIG_0-4 thresholds: -10..-3.5 dB)
+            deep_sync = (not geom.spec.is_mfsk) and geom.spec.config <= 4
+        self.deep_sync = bool(deep_sync)
         self.ctrl = ctrl
         self.active_nsymb = geom.ctrl_nsymb if ctrl else geom.nsymb
         self.active_nbits = geom.spec.ctrl_nbits if ctrl else geom.n_bits
@@ -570,12 +579,44 @@ class RxChain:
                       .reshape(n_rows, b) * mf_d)               # [K*A, B]
             scores = jnp.swapaxes(score_f.reshape(n_k, b, n_alias),
                                   1, 2).reshape(n_rows, b)
+            cfos = jnp.concatenate(cfo_rows, axis=0)
+            if self.deep_sync:
+                # Global known-preamble acquisition (deep sync): below ~-3 dB
+                # effective Es/N0 the blind SC autocorrelation loses SNR
+                # quadratically (noise x noise lag products) and the true
+                # start stops surfacing in the top-K at all — so correlate
+                # the known preamble against the ENTIRE decimated TS baseband
+                # over a static CFO grid and let those hypotheses join the
+                # same arbitration. Coherent per preamble symbol, noncoherent
+                # across symbols: 15 Hz grid spacing keeps the per-symbol
+                # coherence loss under ~0.5 dB, and the downstream Moose +
+                # subcarrier-alias hypotheses absorb the residual. This is
+                # the capability the reference lacks entirely (its passband
+                # sync gates FER 1.0); it buys CONFIG_0-3 their baseband
+                # waterfalls through the full passband chain.
+                span = 120.0 if self.cfo_range == "wide" else 30.0
+                n_h = int(round(span / 15.0))
+                grid_f = np.arange(-n_h, n_h + 1) * 15.0
+                bank_g = np.stack([
+                    tmpl_d * np.exp(-1j * (2 * np.pi / g.fs)
+                                    * f_h * t_tmpl)[None]
+                    for f_h in grid_f]).astype(self.np_cdtype)  # [H, Lp, S]
+                n_gd = n_ts // mf_s             # whole buffer at mf_d rate
+                win_g = (n_gd - lp * s_d) // 2
+                seg_g = bb_ts[..., : (2 * win_g + lp * s_d) * mf_s: mf_s]
+                delay_g, score_g = sync.matched_filter_refine_bank(
+                    seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
+                    use_mm=False)                               # [B, H]
+                delays = jnp.concatenate([delays, delay_g.T * mf_d], axis=0)
+                scores = jnp.concatenate([scores, score_g.T], axis=0)
+                cfos = jnp.concatenate(
+                    [cfos, jnp.asarray(grid_f, self.real_dtype)[:, None]
+                     * jnp.ones((1, b), self.real_dtype)], axis=0)
             if sync_limit is not None:
                 # a boundary frame's GI plateau can sneak a candidate just
                 # under the limit and then refine PAST it — arbitrate only
                 # among hypotheses whose refined start is owned
                 scores = jnp.where(delays >= sync_limit, -jnp.inf, scores)
-            cfos = jnp.concatenate(cfo_rows, axis=0)
             pick_a = jnp.argmax(scores, axis=0)                 # [B]
             delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
             coarse_cfo = jnp.take_along_axis(cfos, pick_a[None], axis=0)[0]

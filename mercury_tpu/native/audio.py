@@ -9,11 +9,16 @@ Replicates the reference's three-thread architecture (audioio.c):
     period at a time under the frames_to_read/data_ready protocol
     (radio_capture_prep_thread, audioio.c:999-1069; window in runtime.cc)
 
-Device backends replace the vendored ffaudio library:
-  - AlsaDevice: real sound cards through libasound via ctypes (no
-    compile-time dependency; raises cleanly when ALSA is absent)
+Device backends replace the vendored ffaudio library (the reference ships
+ALSA/Pulse/OSS/JACK/WASAPI/DSound/CoreAudio backends; the Linux/TPU target
+keeps the Linux trio, each loaded lazily with no compile-time dependency):
+  - AlsaDevice: libasound via ctypes
+  - PulseDevice: libpulse-simple via ctypes (ffaudio/pulse.c equivalent)
+  - OssDevice: /dev/dsp ioctls, zero libraries (ffaudio/oss.c equivalent)
   - LoopbackDevice: an in-process virtual cable (the VB-Audio-cable test
     topology from the reference's tooling, without the OS dependency)
+All raise RuntimeError cleanly when their subsystem is absent;
+open_audio_device() picks the first available backend.
 
 On the TPU deployment target there is usually no sound card — the
 link.transport UDP/file transports carry samples instead — but radio-attached
@@ -174,6 +179,158 @@ class AlsaDevice:
         if getattr(self, "_pcm", None):
             self._lib.snd_pcm_close(self._pcm)
             self._pcm = None
+
+
+# ----------------------------------------------------------------------
+class PulseDevice:
+    """PulseAudio device via the libpulse-simple blocking API
+    (ffaudio/pulse.c equivalent; pa_simple_new/write/read/free).
+
+    Mono float32 on the wire — Pulse does its own routing/resampling, so
+    unlike ALSA there is no manual channel interleave to manage."""
+
+    PA_STREAM_PLAYBACK = 1
+    PA_STREAM_RECORD = 2
+    PA_SAMPLE_FLOAT32LE = 5
+
+    class _SampleSpec(ctypes.Structure):
+        _fields_ = [("format", ctypes.c_int), ("rate", ctypes.c_uint32),
+                    ("channels", ctypes.c_uint8)]
+
+    def __init__(self, device: str | None = None, capture: bool = False,
+                 rate: int = 48000, app_name: str = "mercury-tpu"):
+        path = (ctypes.util.find_library("pulse-simple")
+                or ctypes.util.find_library("libpulse-simple"))
+        if path is None:
+            raise RuntimeError(
+                "libpulse-simple not found — PulseAudio unavailable on this "
+                "host; use AlsaDevice/OssDevice/LoopbackDevice or a "
+                "link.transport sample transport")
+        self._lib = ctypes.CDLL(path)
+        self._lib.pa_simple_new.restype = ctypes.c_void_p
+        self._lib.pa_simple_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                            ctypes.c_int, ctypes.c_char_p,
+                                            ctypes.c_char_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.POINTER(ctypes.c_int)]
+        self.rate, self.capture = rate, capture
+        spec = self._SampleSpec(self.PA_SAMPLE_FLOAT32LE, rate, 1)
+        err = ctypes.c_int(0)
+        stream = self.PA_STREAM_RECORD if capture else self.PA_STREAM_PLAYBACK
+        self._s = self._lib.pa_simple_new(
+            None, app_name.encode(), stream,
+            device.encode() if device else None,
+            b"capture" if capture else b"playback",
+            ctypes.byref(spec), None, None, ctypes.byref(err))
+        if not self._s:
+            raise OSError(f"pa_simple_new failed (pulse error {err.value}) — "
+                          "is a PulseAudio/PipeWire server running?")
+
+    def write(self, samples: np.ndarray) -> int:
+        buf = np.ascontiguousarray(np.asarray(samples, np.float32))
+        err = ctypes.c_int(0)
+        rc = self._lib.pa_simple_write(ctypes.c_void_p(self._s),
+                                       buf.ctypes.data, buf.nbytes,
+                                       ctypes.byref(err))
+        return len(buf) if rc == 0 else 0
+
+    def read(self, n: int, timeout: float = 0.2) -> np.ndarray:
+        del timeout  # pa_simple_read blocks until the buffer is full
+        buf = np.empty(n, np.float32)
+        err = ctypes.c_int(0)
+        rc = self._lib.pa_simple_read(ctypes.c_void_p(self._s),
+                                      buf.ctypes.data, buf.nbytes,
+                                      ctypes.byref(err))
+        return buf if rc == 0 else np.zeros(0, np.float32)
+
+    def close(self) -> None:
+        if getattr(self, "_s", None):
+            # drain pending playback so short TX tails are not cut off
+            err = ctypes.c_int(0)
+            if not self.capture:
+                self._lib.pa_simple_drain(ctypes.c_void_p(self._s),
+                                          ctypes.byref(err))
+            self._lib.pa_simple_free(ctypes.c_void_p(self._s))
+            self._s = None
+
+
+# ----------------------------------------------------------------------
+class OssDevice:
+    """OSS device (/dev/dsp) via raw ioctls — no library at all
+    (ffaudio/oss.c equivalent). S16_LE on the wire, float32 at the API."""
+
+    # linux soundcard.h ioctl numbers (each is _IOWR('P', n, int))
+    SNDCTL_DSP_SPEED = 0xC0045002
+    SNDCTL_DSP_SETFMT = 0xC0045005
+    SNDCTL_DSP_CHANNELS = 0xC0045006
+    AFMT_S16_LE = 0x10
+
+    def __init__(self, device: str = "/dev/dsp", capture: bool = False,
+                 rate: int = 48000):
+        import fcntl
+        import os as _os
+        import struct
+        if not _os.path.exists(device):
+            raise RuntimeError(
+                f"{device} not present — OSS audio unavailable on this host; "
+                "use AlsaDevice/PulseDevice/LoopbackDevice or a "
+                "link.transport sample transport")
+        self.rate, self.capture = rate, capture
+        self._fd = _os.open(device, _os.O_RDONLY if capture else _os.O_WRONLY)
+        for req, val in ((self.SNDCTL_DSP_SETFMT, self.AFMT_S16_LE),
+                         (self.SNDCTL_DSP_CHANNELS, 1),
+                         (self.SNDCTL_DSP_SPEED, rate)):
+            arg = bytearray(struct.pack("i", val))
+            fcntl.ioctl(self._fd, req, arg)
+            got = struct.unpack("i", bytes(arg))[0]
+            if got != val:
+                _os.close(self._fd)
+                raise OSError(f"OSS ioctl 0x{req:x}: wanted {val}, got {got}")
+
+    def write(self, samples: np.ndarray) -> int:
+        import os as _os
+        pcm = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+        raw = (pcm * 32767.0).astype("<i2").tobytes()
+        return _os.write(self._fd, raw) // 2
+
+    def read(self, n: int, timeout: float = 0.2) -> np.ndarray:
+        import os as _os
+        del timeout  # OSS blocking read
+        raw = _os.read(self._fd, n * 2)
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+    def close(self) -> None:
+        import os as _os
+        if getattr(self, "_fd", None) is not None:
+            _os.close(self._fd)
+            self._fd = None
+
+
+_BACKENDS = {"alsa": AlsaDevice, "pulse": PulseDevice, "oss": OssDevice}
+
+
+def open_audio_device(backend: str = "auto", device: str | None = None,
+                      capture: bool = False, rate: int = 48000, **kw):
+    """Open a named backend, or probe alsa → pulse → oss in order (the
+    reference's ffaudio picks its backend at compile time; here it is a
+    runtime choice). Raises RuntimeError with the per-backend reasons if
+    nothing on the host can do audio."""
+    if backend != "auto":
+        cls = _BACKENDS[backend]
+        args = {"capture": capture, "rate": rate, **kw}
+        if device is not None:
+            args["device"] = device
+        return cls(**args)
+    reasons = []
+    for name, cls in _BACKENDS.items():
+        try:
+            args = {"capture": capture, "rate": rate, **kw}
+            if device is not None:
+                args["device"] = device
+            return cls(**args)
+        except (RuntimeError, OSError) as e:
+            reasons.append(f"{name}: {e}")
+    raise RuntimeError("no audio backend available — " + "; ".join(reasons))
 
 
 # ----------------------------------------------------------------------

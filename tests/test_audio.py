@@ -71,6 +71,39 @@ def test_alsa_gated_cleanly():
         assert isinstance(AlsaDevice.list_devices(), list)
 
 
+def test_pulse_oss_gated_cleanly():
+    """Pulse and OSS backends raise clear RuntimeErrors when their subsystem
+    is absent (and construct when present — exercised on audio-full hosts)."""
+    import ctypes.util
+    import os
+
+    from mercury_tpu.native.audio import OssDevice, PulseDevice
+
+    if (ctypes.util.find_library("pulse-simple") is None
+            and ctypes.util.find_library("libpulse-simple") is None):
+        with pytest.raises(RuntimeError, match="libpulse-simple"):
+            PulseDevice()
+    if not os.path.exists("/dev/dsp"):
+        with pytest.raises(RuntimeError, match="OSS"):
+            OssDevice()
+
+
+def test_open_audio_device_probe_order():
+    """auto probe reports every backend's reason when none is available, and
+    named selection routes to the right class."""
+    from mercury_tpu.native import audio
+
+    try:
+        dev = audio.open_audio_device("auto")
+    except RuntimeError as e:
+        msg = str(e)
+        assert "alsa:" in msg and "pulse:" in msg and "oss:" in msg
+    else:  # host actually has audio
+        dev.close()
+    with pytest.raises(KeyError):
+        audio.open_audio_device("wasapi")
+
+
 def test_burst_transport_segments_on_silence():
     from mercury_tpu.native.audio import AudioBurstTransport
     a_dev, b_dev = LoopbackDevice.pair()

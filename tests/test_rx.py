@@ -93,6 +93,36 @@ def test_loopback_awgn_low_density(rx_chains, cfg):
     assert (np.asarray(res.payload) == payload).all()
 
 
+def test_deep_sync_below_sc_floor(rx_chains):
+    """Global known-preamble acquisition (deep sync, on by default for
+    CONFIG_0-3) acquires frames far below the blind Schmidl-Cox floor:
+    at a passband parameter of -4 dB (≈ -9 dB effective per-carrier, right
+    at CONFIG_0's documented FEC threshold) the SC-only chain loses sync
+    while the deep chain still decodes the batch."""
+    g = build_geometry(0)
+    tx = TxChain(g)
+    rng = np.random.default_rng(7)
+    b = 8
+    payload = rng.integers(0, 256, (b, g.frame_bytes)).astype(np.uint8)
+    frames = tx.transmit(payload)
+    delay = ((g.preamble_nsymb + 2) * g.nofdm + 37) * g.interp
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    buf = jnp.asarray(sim.awgn_passband(jax.random.key(3), frames,
+                                        sim.sigma_for_esn0(-4.0), delay,
+                                        buf_len), jnp.float32)
+    deep = rx_chains(0)             # default chain: deep_sync auto-on
+    assert deep.deep_sync
+    res = deep.receive(buf)
+    ok = np.asarray(res.crc_ok)
+    assert int(ok.sum()) >= b - 1, ok
+    got = np.asarray(res.delay)[ok]
+    assert np.abs(got - delay).max() <= g.ngi * g.interp
+
+    shallow = RxChain(g, deep_sync=False)
+    res_s = shallow.receive(buf)
+    assert int(np.asarray(res_s.crc_ok).sum()) <= b // 2   # SC floor is real
+
+
 @pytest.mark.parametrize("cfg", [100, 101, 102])
 def test_loopback_mfsk(rx_chains, cfg):
     """MFSK loopback at the mode's waterfall SNR + 4 dB margin."""
