@@ -8,6 +8,12 @@ new design here. Two first-class axes:
 - **time** ('t'): one long capture stream split across chips — overlap-save:
   each shard needs a halo of (preamble+frame) samples from its right
   neighbour for sync windows and FIR tails, exchanged with ppermute over ICI.
+
+At multi-host scale the two compose on a 2-D mesh ('dcn', 'ch'):
+independent streams data-parallel over the slow DCN axis (zero collectives
+cross slice), each stream time-sharded over the fast ICI axis so the only
+communication — halo ppermute — stays on ICI (make_mesh_2d +
+time_sharded_receive(batch_axis='dcn')).
 """
 
 from __future__ import annotations
@@ -27,6 +33,31 @@ def make_mesh(n_devices: int | None = None, axis: str = "ch") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+def make_mesh_2d(n_outer: int, n_inner: int,
+                 axes: tuple[str, str] = ("dcn", "ch")) -> Mesh:
+    """2-D mesh [n_outer, n_inner] with the OUTER axis laid across the slow
+    interconnect (DCN / host boundaries) and the INNER axis across ICI.
+
+    On a real multi-slice TPU deployment jax.experimental.mesh_utils
+    assigns devices so that inner-axis neighbours share a slice (collectives
+    on the inner axis ride ICI); on a single slice — or the virtual CPU
+    mesh — a plain reshape gives the same logical topology.
+    """
+    devs = jax.devices()
+    if n_outer * n_inner > len(devs):
+        raise ValueError(f"mesh {n_outer}x{n_inner} needs more than the "
+                         f"{len(devs)} available devices")
+    n_slices = len({getattr(d, "slice_index", 0) for d in devs})
+    if n_slices > 1:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, n_inner), (n_outer, 1), devices=devs[: n_outer * n_inner])
+        arr = arr.reshape(n_outer, n_inner)
+    else:
+        arr = np.array(devs[: n_outer * n_inner]).reshape(n_outer, n_inner)
+    return Mesh(arr, axes)
 
 
 def shard_batch(mesh: Mesh, x, axis: str = "ch"):
@@ -104,7 +135,8 @@ def halo_exchange(x_shard: jnp.ndarray, left: int, right: int,
 
 
 def time_sharded_receive(rx_chain, mesh: Mesh, time_axis: str = "t",
-                         halo: int | None = None):
+                         halo: int | None = None,
+                         batch_axis: str | None = None):
     """Full RX over one long capture stream time-sharded across chips.
 
     The TPU-native analogue of the reference's sliding capture window
@@ -120,6 +152,11 @@ def time_sharded_receive(rx_chain, mesh: Mesh, time_axis: str = "t",
     Returns a jitted f(pb [B, N]) -> RxResult with leading shard axis
     [n_dev, B]; `delay` is globalized to stream sample offsets and `crc_ok`
     is False for chips that found no frame of their own.
+
+    batch_axis: on a 2-D mesh (make_mesh_2d), additionally shard the stream
+    batch over this (DCN) axis — independent streams per host group, each
+    time-sharded over its group's ICI axis; the halo/dedupe ppermutes name
+    only `time_axis`, so no collective ever crosses the DCN boundary.
     """
     g = rx_chain.geom
     frame_interp = (g.nofdm * (rx_chain.active_nsymb + g.preamble_nsymb)
@@ -159,8 +196,8 @@ def time_sharded_receive(rx_chain, mesh: Mesh, time_axis: str = "t",
             mean_h=res.mean_h[None])
 
     shard_fn = jax.shard_map(local, mesh=mesh,
-                             in_specs=P(None, time_axis),
-                             out_specs=P(time_axis))
+                             in_specs=P(batch_axis, time_axis),
+                             out_specs=P(time_axis, batch_axis))
     return jax.jit(shard_fn)
 
 

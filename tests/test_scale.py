@@ -78,6 +78,45 @@ def test_time_sharded_receive(mesh):
             f"shard {k}: delay {delays[k]} vs start {starts[k]}")
 
 
+def test_grid_parallel_receive_2d():
+    """DP x SP on a 2-D (dcn, ch) mesh: 2 host groups each carry their own
+    stream batch, time-sharded over their 4-chip ICI group; every frame is
+    claimed by the right (group, slice) and halo ppermutes never cross the
+    DCN axis (they name only the inner axis)."""
+    g = build_geometry(16)
+    tx, rx = TxChain(g), RxChain(g)
+    rng = np.random.default_rng(11)
+    n_dcn, n_t = 2, 4
+    mesh2 = shard.make_mesh_2d(n_dcn, n_t, axes=("dcn", "ch"))
+    frame_len = g.nofdm * (g.nsymb + g.preamble_nsymb) * g.interp
+    n_local = g.nofdm * g.buffer_nsymb * g.interp
+    n_total = n_t * n_local
+
+    b = n_dcn           # one stream per DCN group
+    payload = rng.integers(0, 256, (b, n_t, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payload.reshape(b * n_t, -1))
+                        ).reshape(b, n_t, -1)
+    stream = (0.002 * rng.standard_normal((b, n_total))).astype(np.float32)
+    starts = np.zeros((b, n_t), np.int64)
+    for i in range(b):
+        for k in range(n_t):
+            start = min(k * n_local + 2000 + 700 * i, n_total - frame_len)
+            starts[i, k] = start
+            stream[i, start: start + frame_len] += frames[i, k]
+
+    run = shard.time_sharded_receive(rx, mesh2, time_axis="ch",
+                                     batch_axis="dcn")
+    res = run(jnp.asarray(stream))
+    crc = np.asarray(res.crc_ok)            # [n_t, b]
+    got = np.asarray(res.payload)
+    delays = np.asarray(res.delay)
+    assert crc.all(), f"claims: {crc}"
+    for i in range(b):
+        for k in range(n_t):
+            assert (got[k, i] == payload[i, k]).all()
+            assert abs(int(delays[k, i]) - starts[i, k]) <= 16
+
+
 def test_time_sharded_fir_exact(mesh):
     """Overlap-save FIR over a time-sharded stream matches the unsharded
     convolution exactly (halo seams correct)."""
