@@ -59,7 +59,7 @@ class RxChain:
 
     def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
                  ctrl: bool = False, cfo_range: str = "wide",
-                 deep_sync: bool | None = None):
+                 deep_sync: bool | None = None, ldpc_algo: str = "spa"):
         self.geom = geom
         self.real_dtype = real_dtype
         if ctrl and not (geom.spec.is_mfsk and geom.spec.ctrl_nbits > 0):
@@ -75,6 +75,11 @@ class RxChain:
             # cheaper coarse search (CONFIG_0-4 thresholds: -10..-3.5 dB)
             deep_sync = (not geom.spec.is_mfsk) and geom.spec.config <= 4
         self.deep_sync = bool(deep_sync)
+        if ldpc_algo not in ("spa", "minsum"):
+            raise ValueError("ldpc_algo must be 'spa' or 'minsum'")
+        # spa default: full BP sensitivity (the BER campaign numbers);
+        # minsum trades ~0.2-0.4 dB for a cheaper check update
+        self.ldpc_algo = ldpc_algo
         self.ctrl = ctrl
         self.active_nsymb = geom.ctrl_nsymb if ctrl else geom.nsymb
         self.active_nbits = geom.spec.ctrl_nbits if ctrl else geom.n_bits
@@ -391,7 +396,8 @@ class RxChain:
             llr[..., : g.n_virtual],
             llr[..., g.n_real: g.n_real + g.ldpc_p],
         ], axis=-1).astype(jnp.float32)
-        bits, iters, _conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num)
+        bits, iters, _conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num,
+                                         algo=self.ldpc_algo)
         real_bits = jnp.bitwise_xor(bits[..., : g.n_real], self._dispersal[None])
         all_zeros = jnp.all(real_bits[..., : (g.n_real // 8) * 8] == 0, axis=-1)
         crc_bits = real_bits[..., : self._crc_nbits]
