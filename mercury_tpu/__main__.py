@@ -51,7 +51,17 @@ def main(argv=None) -> int:
     ap.add_argument("--snr", type=float, default=20.0)
     ap.add_argument("--bytes", type=int, default=500)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--ldpc-algo", default="spa", choices=["spa", "minsum"],
+                    help="LDPC decoder: spa (full sensitivity, default) or "
+                    "minsum (faster check update, ~0.2-0.4 dB penalty)")
+    ap.add_argument("--deep-sync", default=None,
+                    choices=["auto", "on", "off"],
+                    help="global known-preamble acquisition (default auto: "
+                    "on for CONFIG_0-4)")
     args = ap.parse_args(argv)
+
+    def _deep(a):
+        return {None: None, "auto": None, "on": True, "off": False}[a.deep_sync]
 
     if args.cpu:
         import jax
@@ -133,7 +143,8 @@ def main(argv=None) -> int:
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.rx import RxChain
         g = build_geometry(args.config)
-        rx = RxChain(g)
+        rx = RxChain(g, ldpc_algo=args.ldpc_algo,
+                     deep_sync=_deep(args))
         samples = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
         buf = np.zeros(buf_len, np.float32)
@@ -236,7 +247,8 @@ def main(argv=None) -> int:
                         print(f"TX {len(chunk)}B -> {len(pb)} samples")
             else:
                 from mercury_tpu.modem.rx import RxChain
-                rx = RxChain(g)
+                rx = RxChain(g, ldpc_algo=args.ldpc_algo,
+                             deep_sync=_deep(args))
                 buf_len = g.nofdm * g.buffer_nsymb * g.interp
                 stream = np.fromfile(args.input, dtype=np.float32)
                 pos = 0
@@ -272,7 +284,8 @@ def main(argv=None) -> int:
         from mercury_tpu.modem.rx import RxChain
 
         g = build_geometry(args.config)
-        rx = RxChain(g)
+        rx = RxChain(g, ldpc_algo=args.ldpc_algo,
+                     deep_sync=_deep(args))
         dash = Dashboard(color=sys.stdout.isatty())
         stream = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
