@@ -165,27 +165,38 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         qe = jnp.take(qf, edge_flat.reshape(-1), axis=1).reshape(b, p, cw)
         if algo == "minsum":
             # offset min-sum: R = sign_excl * max(min_excl - beta, 0).
-            # Exclusive min via (min1, min2, argmin); exclusive sign via the
-            # total sign product times the edge's own sign (sign in {+-1}).
-            absq = jnp.where(c_mask[None], jnp.abs(qe), jnp.inf)
-            # dtype pinned: where(mask, -1.0, 1.0) of two Python scalars
-            # materializes a *strong* f64 under jax_enable_x64 and would
-            # promote r_vals to f64 (scatter-into-f32 FutureWarning)
-            sgn = jnp.where(c_mask[None] & (qe < 0), -1.0, 1.0).astype(llr.dtype)
-            i1 = jnp.argmin(absq, axis=-1)                      # [B, P]
-            min1 = jnp.min(absq, axis=-1)
-            slot = jnp.arange(cw)
-            absq2 = jnp.where(slot[None, None] == i1[..., None], jnp.inf, absq)
-            min2 = jnp.min(absq2, axis=-1)
-            excl_min = jnp.where(slot[None, None] == i1[..., None],
-                                 min2[..., None], min1[..., None])
+            # Exclusive min via (min1, min2, first-occurrence-of-min mask);
+            # exclusive sign via the total sign product times the edge's own
+            # sign (sign in {+-1}). Deliberately argmin- and inf-free: an
+            # argmin over an inf-masked [B, P, Cw] inside this while_loop
+            # SIGSEGVs the TPU compiler for B > 1 (reproduced on v5e), and
+            # the big-finite sentinel gives identical results since the
+            # message clamp below caps at 8.7 anyway. The eq-mask form is
+            # also tie-robust (a tied-min edge keeps min1 as its exclusive
+            # min, which is exactly right).
+            big = jnp.float32(3.0e38)
+            absq = jnp.where(c_mask[None], jnp.abs(qe), big)
+            min1 = jnp.min(absq, axis=-1, keepdims=True)        # [B, P, 1]
+            eq = absq == min1
+            is_min = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1)
+            min2 = jnp.min(jnp.where(is_min, big, absq), axis=-1,
+                           keepdims=True)
+            excl_min = jnp.where(is_min, min2, min1)
             # clamp to the SPA's effective arctanh bound (±8.7): without it
             # min-sum messages grow without bound through graph cycles and
             # the duplicated virtual-bit structure, and the decoder diverges
             excl_min = jnp.clip(alpha * jnp.maximum(excl_min - beta, 0.0),
                                 0.0, 8.7)
-            sign_tot = jnp.prod(sgn, axis=-1, keepdims=True)
-            r_vals = jnp.where(c_mask[None], sign_tot * sgn * excl_min, 0.0)
+            # exclusive sign via integer bit parity: sign_excl[j] =
+            # (-1)^(parity of negative edges excluding j). Sign bits are
+            # exact in int32, and this sidesteps a float sign product —
+            # jnp.prod over the [B, P, Cw] sign tensor SIGSEGVs the TPU
+            # compiler inside this while_loop (reproduced on v5e; the
+            # parity form compiles everywhere and is cheaper anyway)
+            sbit = (c_mask[None] & (qe < 0)).astype(jnp.int32)
+            par = jnp.sum(sbit, axis=-1, keepdims=True)         # [B, P, 1]
+            sign_excl = (1 - 2 * ((par - sbit) & 1)).astype(llr.dtype)
+            r_vals = jnp.where(c_mask[None], sign_excl * excl_min, 0.0)
         else:
             t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
             # exclusive product via forward/backward cumulative products

@@ -167,11 +167,17 @@ def main() -> int:
     y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
     llr = jnp.asarray((2 / sigma ** 2 * y).astype(np.float32))
     for algo in ("spa", "minsum"):
-        fn = jax.jit(lambda x, a=algo: ldpc.decode(x, g.spec.ldpc_rate_num,
-                                                   algo=a))
-        bits, iters, ok = fn(llr)
-        mean_iters = float(jnp.mean(jnp.clip(iters, 0, 50)))
-        t = timed(fn, llr)
+        try:
+            fn = jax.jit(lambda x, a=algo: ldpc.decode(x, g.spec.ldpc_rate_num,
+                                                       algo=a))
+            bits, iters, ok = fn(llr)
+            mean_iters = float(jnp.mean(jnp.clip(iters, 0, 50)))
+            t = timed(fn, llr)
+        except Exception as e:   # keep the rest of the report on any failure
+            print(f"LDPC {algo}: FAILED ({str(e)[:100]})", flush=True)
+            results["stages"].append({"stage": f"LDPC {algo}",
+                                      "error": str(e)[:200]})
+            continue
         # per iteration: gather Q, check update, scatter R, var update
         per_edge_flops = 24 if algo == "spa" else 10
         iters_run = max(mean_iters, 1.0)
