@@ -27,7 +27,8 @@ REPS = 10
 BATCH_SWEEP = [1, 4, 16, 64, 256, 512]
 
 
-def measure(config: int, batch: int, reps: int) -> dict:
+def measure(config: int, batch: int, reps: int,
+            deep_sync: bool | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +39,7 @@ def measure(config: int, batch: int, reps: int) -> dict:
     from mercury_tpu.modem.tx import TxChain
 
     g = build_geometry(config)
-    tx, rx = TxChain(g), RxChain(g)
+    tx, rx = TxChain(g), RxChain(g, deep_sync=deep_sync)
     rng = np.random.default_rng(0)
     payload = rng.integers(0, 256, (batch, g.frame_bytes)).astype(np.uint8)
     frames = tx.transmit(payload)
@@ -71,6 +72,7 @@ def measure(config: int, batch: int, reps: int) -> dict:
     # so one chip sustains sps/48000 concurrent real-time channels
     return {
         "config": config,
+        "deep_sync": rx.deep_sync,
         "batch": batch,
         "buf_len": buf_len,
         "frame_bytes": g.frame_bytes,
@@ -100,6 +102,12 @@ def main() -> int:
         print(f"  cfg{cfg}: {r['msamples_per_s']} Ms/s "
               f"({r['realtime_channels']} rt-channels, crc {r['crc_ok_frac']})",
               file=sys.stderr)
+    # CONFIG_0 with acquisition profiles split out: deep sync (default below
+    # CONFIG_5) buys ~6 dB of acquisition for ~5x front-end cost — the
+    # high-SNR batched-throughput deployment can turn it off
+    r = measure(0, BATCH, reps, deep_sync=False)
+    rows.append(r)
+    print(f"  cfg0 (deep off): {r['msamples_per_s']} Ms/s", file=sys.stderr)
 
     sweep = []
     if not args.quick:
@@ -121,7 +129,10 @@ def main() -> int:
     print("| config | Msamples/s | goodput Mbit/s | realtime channels | ms/call |")
     print("|---|---:|---:|---:|---:|")
     for r in rows:
-        print(f"| {name.get(r['config'], 'CONFIG_' + str(r['config']))} "
+        label = name.get(r["config"], "CONFIG_" + str(r["config"]))
+        if r["config"] <= 4 and not r["deep_sync"]:
+            label += " (deep_sync=off)"
+        print(f"| {label} "
               f"| {r['msamples_per_s']} | {r['decode_goodput_mbit_s']} "
               f"| {r['realtime_channels']} | {r['ms_per_call']} |")
     if sweep:
