@@ -97,9 +97,10 @@ _MINSUM_ALPHA = {1: 0.95, 2: 0.925, 3: 0.9, 4: 0.85, 5: 0.75, 6: 0.75,
 
 @functools.partial(jax.jit,
                    static_argnames=("rate_num", "max_iter", "algo", "beta",
-                                    "alpha"))
+                                    "alpha", "msg_dtype"))
 def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
-           algo: str = "spa", beta: float = 0.0, alpha: float | None = None):
+           algo: str = "spa", beta: float = 0.0, alpha: float | None = None,
+           msg_dtype=None):
     """Batched BP decode (SPA or offset min-sum check update).
 
     Args:
@@ -116,6 +117,12 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         (measured in tests/test_fec.py::test_minsum_ber_close_to_spa).
       beta: min-sum offset (ignored for SPA).
       alpha: min-sum normalization; None picks the calibrated per-rate value.
+      msg_dtype: storage dtype for the Q/R message tensors (None = float32).
+        jnp.bfloat16 halves the HBM traffic of the edge-permutation gathers
+        that bind this loop on TPU (docs/roofline_r2.md); the check/variable
+        arithmetic still runs in float32 — only the carried state and the
+        gathered operands are narrowed. BER impact is measured in
+        tests/test_fec.py::test_bf16_messages_ber_close.
 
     Returns:
       bits [B, N] int32 hard decisions, iters [B] int32 (0 = clean on arrival,
@@ -148,6 +155,7 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         np.where(code.v_idx >= 0, c_slot, p * cw))             # [N, Vw]
 
     llr = llr.astype(jnp.float32)
+    mdt = jnp.float32 if msg_dtype is None else msg_dtype
     b = llr.shape[0]
 
     def syndrome(bits):
@@ -157,12 +165,13 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
     bits0 = (llr < 0).astype(jnp.int32)
     clean0 = jnp.all(syndrome(bits0) == 0, axis=-1)            # [B]
 
-    q0 = jnp.where(v_mask[None], llr[:, :, None], 0.0)         # [B, N, Vw]
+    q0 = jnp.where(v_mask[None], llr[:, :, None], 0.0).astype(mdt)  # [B, N, Vw]
 
     def body(state):
         q, llr_tot, done, iters, it = state
         qf = q.reshape(b, n * vw)
-        qe = jnp.take(qf, edge_flat.reshape(-1), axis=1).reshape(b, p, cw)
+        qe = jnp.take(qf, edge_flat.reshape(-1), axis=1
+                      ).reshape(b, p, cw).astype(jnp.float32)
         if algo == "minsum":
             # offset min-sum: R = sign_excl * max(min_excl - beta, 0).
             # Exclusive min via (min1, min2, first-occurrence-of-min mask);
@@ -210,18 +219,21 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         # inverse edge map on TPU (scatters are slow there), scatter on CPU
         # (measured faster on host)
         if jax.default_backend() == "cpu":
-            r_flat = jnp.zeros((b, n * vw + 1), dtype=llr.dtype)
-            r_flat = r_flat.at[:, edge_flat.reshape(-1)].set(r_vals.reshape(b, -1))
-            r_new = r_flat[:, : n * vw].reshape(b, n, vw)
+            r_flat = jnp.zeros((b, n * vw + 1), dtype=mdt)
+            r_flat = r_flat.at[:, edge_flat.reshape(-1)].set(
+                r_vals.reshape(b, -1).astype(mdt))
+            r_new = r_flat[:, : n * vw].reshape(b, n, vw).astype(jnp.float32)
         else:
             r_pad = jnp.concatenate(
-                [r_vals.reshape(b, -1), jnp.zeros((b, 1), llr.dtype)], axis=-1)
+                [r_vals.reshape(b, -1), jnp.zeros((b, 1), llr.dtype)],
+                axis=-1).astype(mdt)
             r_new = jnp.take(r_pad, var_edge_flat.reshape(-1),
-                             axis=1).reshape(b, n, vw)
+                             axis=1).reshape(b, n, vw).astype(jnp.float32)
         llr_new = llr + jnp.sum(jnp.where(v_mask[None], r_new, 0.0), axis=-1)
         bits = (llr_new < 0).astype(jnp.int32)
         conv = jnp.all(syndrome(bits) == 0, axis=-1)
-        q_new = jnp.where(v_mask[None], llr_new[:, :, None] - r_new, 0.0)
+        q_new = jnp.where(v_mask[None], llr_new[:, :, None] - r_new,
+                          0.0).astype(mdt)
         # freeze converged/done codewords
         keep = done[:, None, None]
         q = jnp.where(keep, q, q_new)

@@ -95,3 +95,32 @@ def test_interleaver_roundtrip():
             ref[j * nblocks + i] = x[i * block + j]
     ref[nblocks * block:] = x[nblocks * block:]
     assert (inter == ref).all()
+
+
+def test_bf16_messages_ber_close():
+    """bf16 message storage (the TPU bandwidth option) stays within ~2x of
+    f32 min-sum frame errors at a near-threshold noise level, on the same
+    noise realizations."""
+    import jax.numpy as jnp
+
+    code = load_code(8)
+    rng = np.random.default_rng(13)
+    b = 64
+    u = rng.integers(0, 2, (b, code.k))
+    cw = np.asarray(ldpc.encode(code, jnp.asarray(u)))
+    sigma = 0.87
+    y = (1 - 2 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = (2 / sigma ** 2 * y).astype(np.float32)
+    _b32, _i, ok32 = ldpc.decode(jnp.asarray(llr), 8, algo="minsum")
+    _b16, _i, ok16 = ldpc.decode(jnp.asarray(llr), 8, algo="minsum",
+                                 msg_dtype=jnp.bfloat16)
+    fe32 = int((~np.asarray(ok32)).sum())
+    fe16 = int((~np.asarray(ok16)).sum())
+    assert fe16 <= max(2 * fe32, fe32 + 3), (fe32, fe16)
+    # and at a comfortable SNR it corrects everything, bit-exactly
+    y2 = (1 - 2 * cw) + 0.6 * rng.standard_normal(cw.shape)
+    llr2 = (2 / 0.36 * y2).astype(np.float32)
+    bits, _i, ok = ldpc.decode(jnp.asarray(llr2), 8, algo="minsum",
+                               msg_dtype=jnp.bfloat16)
+    assert np.asarray(ok).all()
+    assert (np.asarray(bits)[:, :code.k] == u).all()
