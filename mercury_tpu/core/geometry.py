@@ -298,6 +298,10 @@ class ModeGeometry:
     est_op: np.ndarray | None      # [nsymb*nc, nPilots] real; includes 1/pilot or LS
     mfsk: MfskParams | None
     ctrl_nsymb: int = 0
+    # effective RX channel estimator (may differ from spec.channel_estimator:
+    # the estimator is receiver-side only, so wire compatibility does not pin
+    # it — see build_geometry(estimator=...))
+    estimator: int = LEAST_SQUARE
 
     @property
     def n_pilots(self) -> int:
@@ -369,12 +373,25 @@ _GEOMETRY_CACHE: dict[tuple, ModeGeometry] = {}
 
 
 def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
-                   with_pre_eq: bool = True) -> ModeGeometry:
-    key = (config, pilot_density, with_pre_eq)
+                   with_pre_eq: bool = True,
+                   estimator: str = "auto") -> ModeGeometry:
+    """estimator: "auto" (default) uses the windowed-LS estimator for every
+    OFDM mode — including CONFIG_15/16, where the reference's table says
+    zero-force. The estimator is receiver-side only (no wire impact), and
+    LS over the 21x21 pilot window is measured ~2 dB more sensitive than ZF
+    at 16QAM/32QAM rate-14/16 (docs/esn0_reconciliation.md §5b). "reference"
+    reproduces the reference's per-config estimator choice exactly."""
+    key = (config, pilot_density, with_pre_eq, estimator)
     if key in _GEOMETRY_CACHE:
         return _GEOMETRY_CACHE[key]
 
     spec = MODES[config]
+    if estimator == "auto":
+        eff_est = LEAST_SQUARE
+    elif estimator == "reference":
+        eff_est = spec.channel_estimator
+    else:
+        raise ValueError("estimator must be 'auto' or 'reference'")
     nc, nfft = NC, NFFT
     ngi = int(nfft * GI)
     nofdm = nfft + ngi
@@ -465,7 +482,7 @@ def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
     if not spec.is_mfsk:
         constellation = psk_constellation(spec.modulation)
         w = _build_interp_operator(frame_types, dx)
-        if spec.channel_estimator == ZERO_FORCE:
+        if eff_est == ZERO_FORCE:
             est_op = w / pilot_seq.real[None, :]
         else:
             l_op = _build_ls_operator(frame_types, pilot_seq, LS_WINDOW)
@@ -494,6 +511,7 @@ def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
         fir_rx_data=fir_rx_data, fir_rx_ts=fir_rx_ts,
         constellation=constellation, pre_eq=pre_eq, est_op=est_op, mfsk=mfsk,
         ctrl_nsymb=(spec.ctrl_nbits // (mfsk.nbits * mfsk.nstreams) if mfsk else 0),
+        estimator=eff_est,
     )
     _GEOMETRY_CACHE[key] = geom
     return geom

@@ -102,7 +102,7 @@ class RxChain:
             self._const = np.asarray(g.constellation, self.np_cdtype)
             self._bit_perm = jnp.asarray(g.bit_perm)
             self._tf_perm = jnp.asarray(g.tf_perm)
-            if g.spec.channel_estimator == ZERO_FORCE:
+            if g.estimator == ZERO_FORCE:
                 # Leave-one-out pilot smoother for the ZF noise estimate:
                 # each pilot's channel predicted from its k nearest pilot
                 # neighbours on the (symbol, carrier) lattice. The residual
@@ -125,6 +125,42 @@ class RxChain:
                     s_loo[i, nn] = 1.0 / k_nn
                 self._loo_op = jnp.asarray(s_loo.astype(np.float32))
                 self._loo_scale = k_nn / (k_nn + 1.0)
+            else:
+                # Ramp-aware LS: the windowed-LS smoother cannot track the
+                # linear phase ramp a (deliberate, ±quantization) timing
+                # offset paints across carriers — plain window averaging
+                # attenuates it into an estimation-bias floor (~-19 dB MER
+                # on the reference's own high-SNR captures). Precompute
+                # same-symbol carrier-adjacent pilot pairs; at run time the
+                # pair-correlation angle gives the per-bin slope, the pilot
+                # measurements are de-rotated before the smoothing matmul
+                # and the full grid re-rotated after (exact for a pure
+                # timing ramp, noise-robust: one angle from ~nPil pairs).
+                s_of_r = g.pilot_cells // g.nc
+                c_of_r = g.pilot_cells % g.nc
+                bins = np.asarray(g.pad_map)[c_of_r].astype(np.float64)
+                pair_a, pair_b, dbins = [], [], []
+                for s_row in np.unique(s_of_r):
+                    kk = np.nonzero(s_of_r == s_row)[0]
+                    kk = kk[np.argsort(bins[kk])]
+                    for i in range(len(kk) - 1):
+                        a_i, b_i = kk[i + 1], kk[i]
+                        pair_a.append(a_i)
+                        pair_b.append(b_i)
+                        dbins.append(bins[a_i] - bins[b_i])
+                dbins = np.asarray(dbins)
+                dmin = dbins.min()
+                keep = dbins == dmin     # uniform spacing -> single angle
+                self._ramp_a = jnp.asarray(np.asarray(pair_a)[keep])
+                self._ramp_b = jnp.asarray(np.asarray(pair_b)[keep])
+                self._ramp_dbin = float(dmin)
+                self._pil_bins = np.asarray(bins, np.float32)
+                cell_bins = np.asarray(g.pad_map)[
+                    np.arange(g.nsymb * g.nc) % g.nc].astype(np.float32)
+                self._cell_bins = np.asarray(cell_bins)
+                # timing error is bounded by the MF grid + the -8 advance:
+                # |t_off| < 10 base samples -> |slope| < 2*pi*10/256
+                self._ramp_max = float(2 * np.pi * 10.0 / g.nfft)
             # CFO-hypothesis selection operators: the per-hypothesis metric
             # (pilot variance) needs only the pilot cells, so instead of a
             # full FFT demod per hypothesis the pilots are extracted with a
@@ -310,7 +346,34 @@ class RxChain:
         gain = PILOT_BOOST / jnp.mean(jnp.abs(y_pil), axis=-1, keepdims=True)
         flat = flat * gain
         y_pil = y_pil * gain
-        h = (y_pil.real @ self._est_op.T) + 1j * (y_pil.imag @ self._est_op.T)
+        if g.estimator != ZERO_FORCE:
+            # ramp-aware LS: de-rotate the timing phase ramp before the
+            # smoothing matmul, re-rotate the smoothed grid (see __init__)
+            h_meas = y_pil / self._pilot_seq
+            pa = jnp.take(h_meas, self._ramp_a, axis=-1)
+            pb = jnp.take(h_meas, self._ramp_b, axis=-1)
+            corr = jnp.sum(pa * jnp.conj(pb), axis=-1)
+            # coherence shrinkage: |corr|/Σ|pa||pb| ≈ |h|²/(|h|²+σ²) — near 1
+            # on clean signals (full ramp correction), near 0 at threshold
+            # SNR where the pair angle is noise (falls back to plain LS
+            # instead of injecting a random ramp; cfg0 at -9 dB effective
+            # lost frames without this)
+            denom = jnp.sum(jnp.abs(pa) * jnp.abs(pb), axis=-1)
+            coh = jnp.abs(corr) / jnp.maximum(denom, 1e-30)
+            slope = jnp.clip(
+                coh * jnp.arctan2(corr.imag, corr.real) / self._ramp_dbin,
+                -self._ramp_max, self._ramp_max).astype(self.real_dtype)
+            rot_p = jnp.exp(-1j * slope[:, None]
+                            * jnp.asarray(self._pil_bins)[None]
+                            ).astype(self.cdtype)
+            y_est = y_pil * rot_p
+            h = ((y_est.real @ self._est_op.T)
+                 + 1j * (y_est.imag @ self._est_op.T))
+            h = h * jnp.exp(1j * slope[:, None]
+                            * jnp.asarray(self._cell_bins)[None]
+                            ).astype(self.cdtype)
+        else:
+            h = (y_pil.real @ self._est_op.T) + 1j * (y_pil.imag @ self._est_op.T)
         h_pil = jnp.take(h, self._pilot_cells, axis=-1)
         mean_h = jnp.mean(jnp.abs(h_pil), axis=-1)
         if g.spec.amplitude_restoration:
@@ -318,7 +381,7 @@ class RxChain:
         else:
             h_eq = h
         eq = flat / h_eq
-        if g.spec.channel_estimator == ZERO_FORCE:
+        if g.estimator == ZERO_FORCE:
             # ZF noise estimate via leave-one-out pilot smoothing: the ZF
             # estimate passes exactly through the pilot measurements, so the
             # post-eq pilot residual is identically ~0 — scaling LLRs by its
@@ -426,7 +489,7 @@ class RxChain:
         else:
             llr, snr, mean_h, data_eq = self.decode_ofdm(grid)
             payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
-            if g.spec.channel_estimator == ZERO_FORCE:
+            if g.estimator == ZERO_FORCE:
                 snr = self._mer_snr(real_bits, data_eq)
         return payload, crc_ok, iters, snr, mean_h
 
@@ -668,7 +731,7 @@ class RxChain:
                         freq_m + subc, freq_m - subc)
             else:
                 hyps = (freq_m, jnp.zeros_like(freq_m))
-            if g.spec.channel_estimator == ZERO_FORCE:
+            if g.estimator == ZERO_FORCE:
                 # ZF forces the pilots exact, so pilot variance cannot
                 # discriminate hypotheses — use the hard-decision error
                 # power of the equalized data symbols instead (needs the
@@ -742,12 +805,15 @@ class RxChain:
             llr = psk.demod(data, self._const, variance)
             llr = jnp.take(llr, self._bit_iperm, axis=-1)
             payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
-            if g.spec.channel_estimator == ZERO_FORCE:
+            if not g.spec.amplitude_restoration:
+                # QAM modes (any estimator): decision-directed MER on the
+                # equalized data. The pilot-residual variance would fold in
+                # the LS smoother's estimation bias (~-17 dB floor on the
+                # sparse low-density lattice) and under-report strong
+                # signals, starving the gearshift of headroom evidence.
                 snr = self._mer_snr(real_bits, data)
-            elif g.spec.amplitude_restoration:
-                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(var_full, 1e-30))
             else:
-                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(variance, 1e-30))
+                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(var_full, 1e-30))
             return RxResult(payload, crc_ok, delay, freq, snr, iters,
                             metric, mean_h)
 
