@@ -141,3 +141,22 @@ def test_loopback_mfsk(rx_chains, cfg):
     res = rx.receive(buf)
     assert np.asarray(res.crc_ok).all()
     assert (np.asarray(res.payload) == payload).all()
+
+
+def test_reference_estimator_path(golden):
+    """estimator="reference" reproduces the reference's per-config estimator
+    choice (ZF at CONFIG_16) and still decodes the reference's capture;
+    the default auto/LS geometry is a distinct cached object."""
+    from mercury_tpu.core.modes import LEAST_SQUARE, ZERO_FORCE
+
+    g_ref = build_geometry(16, estimator="reference")
+    g_auto = build_geometry(16)
+    assert g_ref.estimator == ZERO_FORCE
+    assert g_auto.estimator == LEAST_SQUARE
+    assert g_ref is not g_auto
+    rx = RxChain(g_ref)
+    buf = golden("cfg16_rx_buffer")[None].astype(np.float32)
+    res = rx.receive(buf)
+    assert bool(np.asarray(res.crc_ok)[0])
+    ref_bytes = golden("cfg16_rx_bytes").astype(np.uint8)
+    assert (np.asarray(res.payload)[0] == ref_bytes).all()
