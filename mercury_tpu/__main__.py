@@ -58,6 +58,11 @@ def main(argv=None) -> int:
                     choices=["auto", "on", "off"],
                     help="global known-preamble acquisition (default auto: "
                     "on for CONFIG_0-4)")
+    ap.add_argument("--estimator", default="auto",
+                    choices=["auto", "reference"],
+                    help="channel estimator: auto (ramp-aware windowed LS "
+                    "everywhere, ~2 dB better at CONFIG_15/16) or reference "
+                    "(the reference's per-config ZF/LS table)")
     args = ap.parse_args(argv)
 
     def _deep(a):
@@ -128,7 +133,7 @@ def main(argv=None) -> int:
     if args.mode == "TX_TEST":
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.tx import TxChain
-        g = build_geometry(args.config)
+        g = build_geometry(args.config, estimator=args.estimator)
         tx = TxChain(g)
         data = (sys.stdin.buffer.read(g.frame_bytes) if args.input in (None, "-")
                 else open(args.input, "rb").read(g.frame_bytes))
@@ -142,7 +147,7 @@ def main(argv=None) -> int:
     if args.mode == "RX_TEST":
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.rx import RxChain
-        g = build_geometry(args.config)
+        g = build_geometry(args.config, estimator=args.estimator)
         rx = RxChain(g, ldpc_algo=args.ldpc_algo,
                      deep_sync=_deep(args))
         samples = np.fromfile(args.input, dtype=np.float32)
@@ -223,7 +228,7 @@ def main(argv=None) -> int:
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.native import ShmPayloadRing
 
-        g = build_geometry(args.config)
+        g = build_geometry(args.config, estimator=args.estimator)
         ring = ShmPayloadRing(args.shm, 131072, create=True)
         out_path = args.output or ("tx_shm_stream.f32" if args.mode == "TX_SHM"
                                    else None)
@@ -283,7 +288,7 @@ def main(argv=None) -> int:
         from mercury_tpu.dashboard import Dashboard, level_dbfs
         from mercury_tpu.modem.rx import RxChain
 
-        g = build_geometry(args.config)
+        g = build_geometry(args.config, estimator=args.estimator)
         rx = RxChain(g, ldpc_algo=args.ldpc_algo,
                      deep_sync=_deep(args))
         dash = Dashboard(color=sys.stdout.isatty())
