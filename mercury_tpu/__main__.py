@@ -63,10 +63,31 @@ def main(argv=None) -> int:
                     help="channel estimator: auto (ramp-aware windowed LS "
                     "everywhere, ~2 dB better at CONFIG_15/16) or reference "
                     "(the reference's per-config ZF/LS table)")
+    ap.add_argument("--dd", default=None, choices=["auto", "on", "off"],
+                    help="decision-directed channel re-estimation (default "
+                    "auto: on for the 8PSK/QAM modes; runs only on frames "
+                    "whose first LDPC pass failed)")
+    ap.add_argument("--dd-window", default=None, metavar="S,C",
+                    help="DD smoothing window (symbols,carriers), odd spans; "
+                    "default = the pilot LS window (21,21); use a narrow "
+                    "time span, e.g. 5,9, to track fading inside a frame")
+    ap.add_argument("--dd-passes", type=int, default=1,
+                    help="DD re-estimation iterations (default 1)")
     args = ap.parse_args(argv)
 
     def _deep(a):
         return {None: None, "auto": None, "on": True, "off": False}[a.deep_sync]
+
+    def _rx_kwargs(a):
+        kw = {"ldpc_algo": a.ldpc_algo, "deep_sync": _deep(a)}
+        kw["dd"] = {None: None, "auto": None, "on": True,
+                    "off": False}[a.dd]
+        if a.dd_window is not None:
+            s, c = a.dd_window.split(",")
+            kw["dd_window"] = (int(s), int(c))
+        if a.dd_passes != 1:
+            kw["dd_passes"] = a.dd_passes
+        return kw
 
     if args.cpu:
         import jax
@@ -148,8 +169,7 @@ def main(argv=None) -> int:
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.rx import RxChain
         g = build_geometry(args.config, estimator=args.estimator)
-        rx = RxChain(g, ldpc_algo=args.ldpc_algo,
-                     deep_sync=_deep(args))
+        rx = RxChain(g, **_rx_kwargs(args))
         samples = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
         buf = np.zeros(buf_len, np.float32)
@@ -252,8 +272,7 @@ def main(argv=None) -> int:
                         print(f"TX {len(chunk)}B -> {len(pb)} samples")
             else:
                 from mercury_tpu.modem.rx import RxChain
-                rx = RxChain(g, ldpc_algo=args.ldpc_algo,
-                             deep_sync=_deep(args))
+                rx = RxChain(g, **_rx_kwargs(args))
                 buf_len = g.nofdm * g.buffer_nsymb * g.interp
                 stream = np.fromfile(args.input, dtype=np.float32)
                 pos = 0
@@ -289,8 +308,7 @@ def main(argv=None) -> int:
         from mercury_tpu.modem.rx import RxChain
 
         g = build_geometry(args.config, estimator=args.estimator)
-        rx = RxChain(g, ldpc_algo=args.ldpc_algo,
-                     deep_sync=_deep(args))
+        rx = RxChain(g, **_rx_kwargs(args))
         dash = Dashboard(color=sys.stdout.isatty())
         stream = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp

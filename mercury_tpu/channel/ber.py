@@ -158,13 +158,8 @@ class BerHarness:
                 + 1j * jax.random.normal(k2, td.shape))
             rx_td = (td + noise) * norm
             rx_grid = ops.ofdm_demod(rx_td, pad_map, g.nfft, g.ngi)
-            llr, _snr, _mh, _d = rx.decode_ofdm(rx_grid)
-            llr_n = jnp.concatenate([
-                llr[..., : n_real], llr[..., : g.n_virtual],
-                llr[..., n_real: n_real + g.ldpc_p]], axis=-1)
-            dec, _it, _ok = ldpc.decode(llr_n.astype(jnp.float32),
-                                        g.spec.ldpc_rate_num)
-            return jnp.sum(dec[:, :n_real] != bits, axis=-1)
+            dec = rx.bb_decode_bits(rx_grid)
+            return jnp.sum(dec != bits, axis=-1)
 
         return jax.jit(step)
 

@@ -185,21 +185,25 @@ def _build_interp_operator(types: np.ndarray, dx: int) -> np.ndarray:
 
 
 def _build_ls_operator(types: np.ndarray, pilot_seq: np.ndarray,
-                       win: int) -> np.ndarray:
+                       win: int | tuple[int, int]) -> np.ndarray:
     """Dense operator L [nPilots, nPilots]: received pilot-cell values -> LS
     channel estimates at pilot cells (reference: ofdm.cc:1315-1422).
-    H_p = sum_w (x_w / sum_w x_w^2) * y_w over the (win x win) window."""
+    H_p = sum_w (x_w / sum_w x_w^2) * y_w over the (win x win) window.
+    win may be (win_symbols, win_carriers) — a narrow time span makes a
+    TRACKING estimator for fading channels (not in the reference, whose
+    window is square, telecom_system.cc:2799-2809)."""
     nsymb, nc = types.shape
+    win_s, win_c = (win, win) if isinstance(win, int) else win
     pilot_rc = np.argwhere(types == PILOT)  # row-major order == sequence order
     cell_to_seq = {(r, c): k for k, (r, c) in enumerate(pilot_rc)}
     npil = len(pilot_rc)
     l_op = np.zeros((npil, npil), dtype=np.float64)
-    half = win // 2
+    half_s, half_c = win_s // 2, win_c // 2
     # reference iterates j (carrier) outer, i (symbol) inner, but the estimate
     # for each pilot is independent of iteration order
     for k, (i, j) in enumerate(pilot_rc):
-        r0, r1 = max(0, i - half), min(nsymb - 1, i + half)
-        c0, c1 = max(0, j - half), min(nc - 1, j + half)
+        r0, r1 = max(0, i - half_s), min(nsymb - 1, i + half_s)
+        c0, c1 = max(0, j - half_c), min(nc - 1, j + half_c)
         idxs, xs = [], []
         for r in range(r0, r1 + 1):
             for c in range(c0, c1 + 1):
@@ -374,14 +378,21 @@ _GEOMETRY_CACHE: dict[tuple, ModeGeometry] = {}
 
 def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
                    with_pre_eq: bool = True,
-                   estimator: str = "auto") -> ModeGeometry:
+                   estimator: str = "auto",
+                   ls_window: tuple[int, int] | None = None) -> ModeGeometry:
     """estimator: "auto" (default) uses the windowed-LS estimator for every
     OFDM mode — including CONFIG_15/16, where the reference's table says
     zero-force. The estimator is receiver-side only (no wire impact), and
     LS over the 21x21 pilot window is measured ~2 dB more sensitive than ZF
     at 16QAM/32QAM rate-14/16 (docs/esn0_reconciliation.md §5b). "reference"
-    reproduces the reference's per-config estimator choice exactly."""
-    key = (config, pilot_density, with_pre_eq, estimator)
+    reproduces the reference's per-config estimator choice exactly.
+
+    ls_window (symbols, carriers) overrides the LS smoothing span (default
+    21x21, the reference's). A narrow time span — e.g. (5, 21) — makes a
+    tracking estimator that follows fading inside a frame, at some AWGN
+    sensitivity cost; pair it with RxChain(dd=..., dd_window=...) for the
+    full fading profile (docs/fading_r2.md)."""
+    key = (config, pilot_density, with_pre_eq, estimator, ls_window)
     if key in _GEOMETRY_CACHE:
         return _GEOMETRY_CACHE[key]
 
@@ -485,7 +496,8 @@ def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
         if eff_est == ZERO_FORCE:
             est_op = w / pilot_seq.real[None, :]
         else:
-            l_op = _build_ls_operator(frame_types, pilot_seq, LS_WINDOW)
+            l_op = _build_ls_operator(frame_types, pilot_seq,
+                                      ls_window or LS_WINDOW)
             est_op = w @ l_op
         if with_pre_eq:
             # PRNG continues from the pilot-sequence state (telecom_system.cc

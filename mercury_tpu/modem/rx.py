@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mercury_tpu.core import crc as crc_mod
-from mercury_tpu.core.geometry import ModeGeometry
+from mercury_tpu.core.geometry import LS_WINDOW, ModeGeometry
 from mercury_tpu.core.modes import ZERO_FORCE
 from mercury_tpu.dsp import ops
 from mercury_tpu.fec import ldpc
@@ -59,7 +59,10 @@ class RxChain:
 
     def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
                  ctrl: bool = False, cfo_range: str = "wide",
-                 deep_sync: bool | None = None, ldpc_algo: str = "spa"):
+                 deep_sync: bool | None = None, ldpc_algo: str = "spa",
+                 dd: bool | None = None,
+                 dd_window: tuple[int, int] | None = None,
+                 dd_passes: int = 1):
         self.geom = geom
         self.real_dtype = real_dtype
         if ctrl and not (geom.spec.is_mfsk and geom.spec.ctrl_nbits > 0):
@@ -80,6 +83,40 @@ class RxChain:
         # spa default: full BP sensitivity (the BER campaign numbers);
         # minsum trades ~0.2-0.4 dB for a cheaper check update
         self.ldpc_algo = ldpc_algo
+        if dd is None:
+            # auto: decision-directed re-estimation pays where channel
+            # estimation noise (not FEC strength) sets the waterfall — the
+            # 8PSK/16QAM/32QAM modes (CONFIG_10/11/13/14/15/16). The decoded
+            # codeword turns every data cell into a virtual pilot; the
+            # re-estimate averages ~window^2 cells instead of the sparse
+            # pilot lattice. Runs only on rows whose first BP pass failed to
+            # converge (lax.cond skips the whole pass when all converge), so
+            # the clean-signal throughput cost is ~zero. The reference has
+            # no equivalent (its estimator is strictly pilot-driven,
+            # ofdm.cc:1266-1451) — this is where the framework out-designs
+            # it at the top of the mode ladder.
+            dd = (not geom.spec.is_mfsk and not ctrl
+                  and geom.estimator != ZERO_FORCE
+                  and geom.constellation is not None
+                  and len(geom.constellation) >= 8)
+        if dd and (geom.spec.is_mfsk or geom.estimator == ZERO_FORCE):
+            raise ValueError("decision-directed estimation requires an OFDM "
+                             "mode with the LS estimator")
+        self.dd = bool(dd)
+        # dd_window (symbols, carriers): the smoothing span of the DD
+        # re-estimate. Default = the pilot LS window (best on AWGN/static
+        # channels). Fading channels want a NARROW time window — e.g. (5, 9)
+        # tracks ~1 Hz Doppler across a multi-second frame, the thing the
+        # per-frame pilot estimator cannot do (docs/fading_r2.md) — which
+        # the dense virtual-pilot lattice affords but the sparse pilot
+        # lattice does not. dd_passes > 1 iterates the re-estimation
+        # (decisions from pass k re-estimate pass k+1), crawling into fades.
+        if dd_window is None:
+            dd_window = (LS_WINDOW, LS_WINDOW)
+        if dd_window[0] % 2 == 0 or dd_window[1] % 2 == 0:
+            raise ValueError("dd_window spans must be odd")
+        self.dd_window = (int(dd_window[0]), int(dd_window[1]))
+        self.dd_passes = int(dd_passes)
         self.ctrl = ctrl
         self.active_nsymb = geom.ctrl_nsymb if ctrl else geom.nsymb
         self.active_nbits = geom.spec.ctrl_nbits if ctrl else geom.n_bits
@@ -220,6 +257,31 @@ class RxChain:
             self._pil_slot = jnp.asarray(pil_slot)
             self._est_pil_op = jnp.asarray(
                 np.asarray(g.est_op)[g.pilot_cells]).astype(real_dtype)
+            if self.dd:
+                # Decision-directed constants: a gather map placing the
+                # re-encoded symbol decisions (tf-deint order, as produced by
+                # _reencode_symbols) and the known pilots onto the flat grid
+                # (unused cells -> the trailing zero slot, weight 0 in the
+                # weighted window estimate), plus unnormalized box-window
+                # matrices for the separable (symbol x carrier) smoothing
+                # H = box(y x*) / box(|x|^2) — the same window span as the
+                # pilot LS estimator, but averaging every cell.
+                npil = len(g.pilot_cells)
+                ndata = len(g.data_cells)
+                src = np.full(g.nsymb * g.nc, npil + ndata, np.int64)
+                src[np.asarray(g.pilot_cells)] = np.arange(npil)
+                dc_sym = np.asarray(g.data_cells)[np.asarray(g.tf_iperm)]
+                src[dc_sym] = npil + np.arange(ndata)
+                self._dd_src = jnp.asarray(src)
+                half_s, half_c = self.dd_window[0] // 2, self.dd_window[1] // 2
+                idx_s = np.arange(g.nsymb)
+                idx_c = np.arange(g.nc)
+                self._dd_box_s = jnp.asarray(
+                    (np.abs(idx_s[:, None] - idx_s[None, :]) <= half_s
+                     ).astype(np.float32)).astype(real_dtype)
+                self._dd_box_c = jnp.asarray(
+                    (np.abs(idx_c[:, None] - idx_c[None, :]) <= half_c
+                     ).astype(np.float32)).astype(real_dtype)
         # known-preamble matched-filter templates (interp-rate waveforms)
         from mercury_tpu.core import hostdsp
         if g.spec.is_mfsk:
@@ -374,6 +436,14 @@ class RxChain:
     def grid_stats(self, grid: jnp.ndarray):
         """AGC + channel estimation + equalization for one carrier grid.
         Returns (equalized flat grid, variance, mean_h, var_full)."""
+        eq, variance, mean_h, var_full, _flat, _slope = \
+            self._grid_stats_internal(grid)
+        return eq, variance, mean_h, var_full
+
+    def _grid_stats_internal(self, grid: jnp.ndarray):
+        """grid_stats plus the internals the decision-directed second pass
+        needs: the AGC'd flat grid and the estimated timing-ramp slope
+        (zeros for the ZF estimator, which has no ramp model)."""
         g = self.geom
         b = grid.shape[0]
         flat = grid.reshape(b, -1)
@@ -421,6 +491,7 @@ class RxChain:
                             ).astype(self.cdtype)
         else:
             h = (y_pil.real @ self._est_op.T) + 1j * (y_pil.imag @ self._est_op.T)
+            slope = jnp.zeros(b, self.real_dtype)
         h_pil = jnp.take(h, self._pilot_cells, axis=-1)
         mean_h = jnp.mean(jnp.abs(h_pil), axis=-1)
         if g.spec.amplitude_restoration:
@@ -453,36 +524,141 @@ class RxChain:
                                 axis=-1)
         eq_full_pil = y_pil / h_pil
         var_full = jnp.mean(jnp.abs(eq_full_pil - self._pilot_seq) ** 2, axis=-1)
-        return eq, variance, mean_h, var_full
+        return eq, variance, mean_h, var_full, flat, slope
 
     # ------------------------------------------------------------------
-    def decode_ofdm(self, grid: jnp.ndarray):
-        """Carrier grid -> LLRs + channel stats (AGC, estimation,
-        equalization, demapping, deinterleaving)."""
-        g = self.geom
-        eq, variance, mean_h, var_full = self.grid_stats(grid)
+    def _ofdm_llr(self, grid: jnp.ndarray):
+        """Carrier grid -> deinterleaved LLRs plus the per-grid internals
+        (flat AGC'd grid, ramp slope, equalized data, variances, mean_h)."""
+        eq, variance, mean_h, var_full, flat, slope = \
+            self._grid_stats_internal(grid)
         data = jnp.take(eq, self._data_cells, axis=-1)          # [B, nData]
         data = jnp.take(data, self._tf_iperm, axis=-1)
         llr = psk.demod(data, self._const, variance)
         llr = jnp.take(llr, self._bit_iperm, axis=-1)
+        return llr, (flat, slope, data, variance, mean_h, var_full)
+
+    def decode_ofdm(self, grid: jnp.ndarray):
+        """Carrier grid -> LLRs + channel stats (AGC, estimation,
+        equalization, demapping, deinterleaving)."""
+        g = self.geom
+        llr, (_f, _s, data, variance, mean_h, var_full) = self._ofdm_llr(grid)
         snr = 10.0 * jnp.log10(1.0 / jnp.maximum(
             var_full if g.spec.amplitude_restoration else variance, 1e-30))
         return llr, snr, mean_h, data
 
     # ------------------------------------------------------------------
+    def _reencode_symbols(self, wire_bits: jnp.ndarray) -> jnp.ndarray:
+        """Re-encode + re-modulate decoded wire bits (post-dispersal, as
+        transmitted) into the ideal data symbols, tf-deint order — the
+        decision-feedback primitive shared by the MER SNR measure and the
+        decision-directed channel re-estimation."""
+        g = self.geom
+        u = jnp.concatenate([wire_bits, wire_bits[..., : g.n_virtual]],
+                            axis=-1)
+        cw = ldpc.encode(self.code, u)
+        tx_bits = jnp.concatenate([wire_bits, cw[..., self.code.k:]], axis=-1)
+        inter = jnp.take(tx_bits, self._bit_perm, axis=-1)
+        return psk.mod(inter, self._const)                     # tf-deint order
+
     def _mer_snr(self, real_bits: jnp.ndarray, data_eq: jnp.ndarray) -> jnp.ndarray:
         """MER-based SNR for the ZF-estimator modes: re-encode the decoded
         payload, re-modulate, and compare against the equalized data symbols
         (reference: telecom_system.cc:1376-1401)."""
-        g = self.geom
-        disp = jnp.bitwise_xor(real_bits, self._dispersal[None])
-        u = jnp.concatenate([disp, disp[..., : g.n_virtual]], axis=-1)
-        cw = ldpc.encode(self.code, u)
-        tx_bits = jnp.concatenate([disp, cw[..., self.code.k:]], axis=-1)
-        inter = jnp.take(tx_bits, self._bit_perm, axis=-1)
-        ideal = psk.mod(inter, self._const)                    # tf-deint order
+        ideal = self._reencode_symbols(
+            jnp.bitwise_xor(real_bits, self._dispersal[None]))
         var = jnp.mean(jnp.abs(ideal - data_eq) ** 2, axis=-1)
         return -10.0 * jnp.log10(jnp.maximum(var, 1e-30))
+
+    # ------------------------------------------------------------------
+    def _dd_demod(self, flat: jnp.ndarray, slope: jnp.ndarray,
+                  wire_bits: jnp.ndarray):
+        """Decision-directed second demod pass: treat the re-encoded decoded
+        codeword as pilots on EVERY data cell, re-estimate the channel with
+        a weighted (symbol x carrier) box window — H = box(y x*)/box(|x|^2),
+        two small matmuls on the MXU — then re-equalize and re-demap.
+        The timing ramp measured by the first pass is de-rotated before the
+        window average and re-applied after, exactly as in grid_stats."""
+        g = self.geom
+        b = flat.shape[0]
+        ideal = self._reencode_symbols(wire_bits).astype(self.cdtype)
+        npil = self._pilot_seq.shape[0]
+        xsrc = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(self._pilot_seq)[None], (b, npil)),
+            ideal,
+            jnp.zeros((b, 1), self.cdtype)], axis=-1)
+        x_flat = jnp.take(xsrc, self._dd_src, axis=-1)          # [B, S*Nc]
+        rot = jnp.exp(-1j * slope[:, None]
+                      * jnp.asarray(self._cell_bins)[None]).astype(self.cdtype)
+        y = flat * rot
+        num = y * jnp.conj(x_flat)
+        den = jnp.abs(x_flat) ** 2
+
+        def box2d(x2):                                          # [B, S, Nc]
+            x2 = jnp.einsum("st,btc->bsc", self._dd_box_s, x2)
+            return jnp.einsum("bsc,cd->bsd", x2, self._dd_box_c)
+
+        sh = (b, g.nsymb, g.nc)
+        num_s = (box2d(num.real.reshape(sh))
+                 + 1j * box2d(num.imag.reshape(sh))).reshape(b, -1)
+        den_s = box2d(den.astype(self.real_dtype).reshape(sh)).reshape(b, -1)
+        h = num_s / jnp.maximum(den_s, 1e-12)
+        h = h * jnp.conj(rot)                  # restore the timing ramp
+        h_pil = jnp.take(h, self._pilot_cells, axis=-1)
+        mean_h = jnp.mean(jnp.abs(h_pil), axis=-1)
+        if g.spec.amplitude_restoration:
+            h_eq = h / jnp.maximum(jnp.abs(h), 1e-30)
+        else:
+            h_eq = h
+        eq = flat / h_eq
+        eq_pil = jnp.take(eq, self._pilot_cells, axis=-1)
+        variance = jnp.mean(jnp.abs(eq_pil - self._pilot_seq) ** 2, axis=-1)
+        eq_full_pil = jnp.take(flat, self._pilot_cells, axis=-1) / h_pil
+        var_full = jnp.mean(jnp.abs(eq_full_pil - self._pilot_seq) ** 2,
+                            axis=-1)
+        data = jnp.take(eq, self._data_cells, axis=-1)
+        data = jnp.take(data, self._tf_iperm, axis=-1)
+        llr = psk.demod(data, self._const, variance)
+        llr = jnp.take(llr, self._bit_iperm, axis=-1)
+        return llr, data, variance, mean_h, var_full
+
+    def _decode_llr_dd(self, llr, flat, slope, data, variance, var_full,
+                       mean_h):
+        """LDPC decode with the optional decision-directed second pass.
+        Rows whose first BP pass converged keep their result; the others are
+        re-estimated/re-decoded. lax.cond skips the whole second pass when
+        every row converged, so the clean-signal cost is one all-reduce."""
+        payload, crc_ok, iters, real_bits, conv = self.llr_to_payload(llr)
+        if not self.dd:
+            return (payload, crc_ok, iters, real_bits, data, variance,
+                    var_full, mean_h)
+
+        def run_dd(args):
+            payload, crc_ok, iters, real_bits, data, variance, var_full, \
+                mean_h = args
+            conv_c = conv
+            for _ in range(self.dd_passes):
+                wire = jnp.bitwise_xor(real_bits, self._dispersal[None])
+                llr2, data2, var2, mh2, vf2 = self._dd_demod(flat, slope,
+                                                             wire)
+                payload2, crc2, it2, rb2, conv2 = self.llr_to_payload(llr2)
+                use2 = ~conv_c
+                u2c = use2[:, None]
+                payload = jnp.where(u2c, payload2, payload)
+                crc_ok = jnp.where(use2, crc2, crc_ok)
+                iters = jnp.where(use2, it2, iters)
+                real_bits = jnp.where(u2c, rb2, real_bits)
+                data = jnp.where(u2c, data2, data)
+                variance = jnp.where(use2, var2, variance)
+                var_full = jnp.where(use2, vf2, var_full)
+                mean_h = jnp.where(use2, mh2, mean_h)
+                conv_c = jnp.where(use2, conv2, conv_c)
+            return (payload, crc_ok, iters, real_bits, data, variance,
+                    var_full, mean_h)
+
+        args = (payload, crc_ok, iters, real_bits, data, variance, var_full,
+                mean_h)
+        return jax.lax.cond(jnp.all(conv), lambda a: a, run_dd, args)
 
     # ------------------------------------------------------------------
     def decode_mfsk(self, grid: jnp.ndarray):
@@ -506,8 +682,8 @@ class RxChain:
             llr[..., : g.n_virtual],
             llr[..., g.n_real: g.n_real + g.ldpc_p],
         ], axis=-1).astype(jnp.float32)
-        bits, iters, _conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num,
-                                         algo=self.ldpc_algo)
+        bits, iters, conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num,
+                                        algo=self.ldpc_algo)
         real_bits = jnp.bitwise_xor(bits[..., : g.n_real], self._dispersal[None])
         all_zeros = jnp.all(real_bits[..., : (g.n_real // 8) * 8] == 0, axis=-1)
         crc_bits = real_bits[..., : self._crc_nbits]
@@ -519,9 +695,45 @@ class RxChain:
         payload = jnp.sum(
             payload_bits.reshape(*payload_bits.shape[:-1], -1, 8)
             << shifts, axis=-1).astype(jnp.uint8)
-        return payload, crc_ok, iters, real_bits
+        return payload, crc_ok, iters, real_bits, conv
 
     # ------------------------------------------------------------------
+    def bb_decode_bits(self, grid: jnp.ndarray) -> jnp.ndarray:
+        """Baseband-harness decode: carrier grid -> LDPC-decoded info bits
+        (no dispersal/CRC, reference baseband_test_EsN0 parity,
+        telecom_system.cc:96-229), including the decision-directed second
+        pass when enabled. In this harness the wire bits ARE the info bits
+        (no energy dispersal), so the decoded codeword feeds the
+        re-estimation directly."""
+        g = self.geom
+        llr, (flat, slope, _d, _v, _mh, _vf) = self._ofdm_llr(grid)
+
+        def bp(llr_in):
+            llr_n = jnp.concatenate([
+                llr_in[..., : g.n_real],
+                llr_in[..., : g.n_virtual],
+                llr_in[..., g.n_real: g.n_real + g.ldpc_p],
+            ], axis=-1).astype(jnp.float32)
+            return ldpc.decode(llr_n, g.spec.ldpc_rate_num,
+                               algo=self.ldpc_algo)
+
+        bits, _iters, conv = bp(llr)
+        if not self.dd:
+            return bits[..., : g.n_real]
+
+        def run_dd(bits1):
+            conv_c = conv
+            for _ in range(self.dd_passes):
+                llr2, _d2, _v2, _m2, _f2 = self._dd_demod(
+                    flat, slope, bits1[..., : g.n_real])
+                bits2, _it2, conv2 = bp(llr2)
+                use2 = ~conv_c
+                bits1 = jnp.where(use2[:, None], bits2, bits1)
+                conv_c = jnp.where(use2, conv2, conv_c)
+            return bits1
+
+        bits = jax.lax.cond(jnp.all(conv), lambda b_: b_, run_dd, bits)
+        return bits[..., : g.n_real]
     def decode_at(self, pb_buffer: jnp.ndarray, delay: jnp.ndarray,
                   freq_offset: jnp.ndarray):
         """Decode a frame from the capture buffer at a known delay and
@@ -532,12 +744,19 @@ class RxChain:
         grid = self.demod_grid(frame)
         if g.spec.is_mfsk:
             llr, snr, mean_h = self.decode_mfsk(grid)
-            payload, crc_ok, iters, _bits = self.llr_to_payload(llr)
+            payload, crc_ok, iters, _bits, _conv = self.llr_to_payload(llr)
         else:
-            llr, snr, mean_h, data_eq = self.decode_ofdm(grid)
-            payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
+            llr, (flat, slope, data, variance, mean_h, var_full) = \
+                self._ofdm_llr(grid)
+            (payload, crc_ok, iters, real_bits, data, variance, var_full,
+             mean_h) = self._decode_llr_dd(llr, flat, slope, data, variance,
+                                           var_full, mean_h)
             if g.estimator == ZERO_FORCE:
-                snr = self._mer_snr(real_bits, data_eq)
+                snr = self._mer_snr(real_bits, data)
+            else:
+                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(
+                    var_full if g.spec.amplitude_restoration else variance,
+                    1e-30))
         return payload, crc_ok, iters, snr, mean_h
 
     # ------------------------------------------------------------------
@@ -808,6 +1027,7 @@ class RxChain:
                     jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
                 freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
                                            axis=0)[0]
+                flat = slope = None       # ZF: no decision-directed pass
             else:
                 # pilot variance discriminates, and it only needs the pilot
                 # cells: per hypothesis, extract them with the per-symbol
@@ -843,7 +1063,8 @@ class RxChain:
                                            axis=0)[0]
                 rot = jnp.exp(1j * (2 * np.pi / g.fs) * freq[:, None] * t_dec)
                 grid_w = self.demod_grid(dec0 * rot.astype(self.cdtype))
-                eq, variance, mean_h, var_full = self.grid_stats(grid_w)
+                eq, variance, mean_h, var_full, flat, slope = \
+                    self._grid_stats_internal(grid_w)
             if stage == "hyp":
                 return eq, variance, freq
 
@@ -851,7 +1072,9 @@ class RxChain:
             data = jnp.take(data, self._tf_iperm, axis=-1)
             llr = psk.demod(data, self._const, variance)
             llr = jnp.take(llr, self._bit_iperm, axis=-1)
-            payload, crc_ok, iters, real_bits = self.llr_to_payload(llr)
+            (payload, crc_ok, iters, real_bits, data, variance, var_full,
+             mean_h) = self._decode_llr_dd(llr, flat, slope, data, variance,
+                                           var_full, mean_h)
             if not g.spec.amplitude_restoration:
                 # QAM modes (any estimator): decision-directed MER on the
                 # equalized data. The pilot-residual variance would fold in
