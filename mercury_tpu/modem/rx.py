@@ -734,6 +734,8 @@ class RxChain:
 
         bits = jax.lax.cond(jnp.all(conv), lambda b_: b_, run_dd, bits)
         return bits[..., : g.n_real]
+
+    # ------------------------------------------------------------------
     def decode_at(self, pb_buffer: jnp.ndarray, delay: jnp.ndarray,
                   freq_offset: jnp.ndarray):
         """Decode a frame from the capture buffer at a known delay and

@@ -28,7 +28,15 @@ SNR_GRID = {                       # channel SNR (dB) points per config
 }
 
 
-def run_config(cfg: int, preset: str, frames: int, batch: int) -> list[dict]:
+def run_config(cfg: int, preset: str, frames: int, batch: int,
+               profile: str = "static") -> list[dict]:
+    """profile: "static" = the default receiver (frame-wide pilot LS);
+    "track" = the fading profile — time-localized pilot LS window (5, 21)
+    bootstrapping a decision-directed re-estimation with a (5, 9) window,
+    2 passes. Tracking follows fading inside a frame (the thing the
+    reference's estimator cannot do); it lifts the OFDM moderate-preset
+    floor by ~50x at the cost of some AWGN sensitivity, so it's a knob,
+    not the default. MFSK modes are noncoherent — profile is ignored."""
     import jax
     import jax.numpy as jnp
 
@@ -37,8 +45,13 @@ def run_config(cfg: int, preset: str, frames: int, batch: int) -> list[dict]:
     from mercury_tpu.modem.rx import RxChain
     from mercury_tpu.modem.tx import TxChain
 
-    g = build_geometry(cfg)
-    tx, rx = TxChain(g), RxChain(g)
+    if profile == "track" and not build_geometry(cfg).spec.is_mfsk:
+        g = build_geometry(cfg, ls_window=(5, 21))
+        tx = TxChain(g)
+        rx = RxChain(g, dd=True, dd_window=(5, 9), dd_passes=2)
+    else:
+        g = build_geometry(cfg)
+        tx, rx = TxChain(g), RxChain(g)
     buf_len = g.nofdm * g.buffer_nsymb * g.interp
     delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
     pts = []
@@ -75,20 +88,31 @@ def main() -> int:
                     default=[0, 4, 9, 100])
     ap.add_argument("--presets", nargs="*",
                     default=["good", "moderate", "poor"])
+    ap.add_argument("--profile", default="static",
+                    choices=["static", "track"],
+                    help="receiver profile: static (default chain) or track "
+                    "(time-localized LS + decision-directed re-estimation)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default docs/fading_r2.json, or "
+                    "docs/fading_track_r2.json with --profile track)")
     args = ap.parse_args()
 
     import jax
     out = {"meta": {"platform": jax.devices()[0].platform,
                     "frames_per_point": args.frames,
+                    "profile": args.profile,
                     "model": "Watterson 2-path Rayleigh, CCIR 520 presets"},
            "results": []}
     for cfg in args.configs:
         for preset in args.presets:
-            pts = run_config(cfg, preset, args.frames, args.batch)
+            pts = run_config(cfg, preset, args.frames, args.batch,
+                             args.profile)
             out["results"].append({"config": cfg, "preset": preset,
                                    "points": pts})
+    name = args.out or ("fading_track_r2.json" if args.profile == "track"
+                        else "fading_r2.json")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "fading_r2.json")
+        os.path.abspath(__file__))), "docs", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
