@@ -70,6 +70,8 @@ class ArqConfig:
     # success-rate ladder thresholds (datalink_config.cc:48-49)
     gear_shift_down_success_rate: float = 45.0
     turboshift: bool = False      # probe the ladder upward right after connect
+    rx_profile: str = "static"    # "track" = fading-tracking receiver
+                                  # (decision-directed, docs/fading_r2.md)
 
 
 @dataclass
@@ -88,15 +90,24 @@ class LinkStats:
 
 
 class _PhyCache:
-    """Per-config PHY chain cache shared between nodes in one process."""
+    """Per-(config, rx_profile) PHY chain cache shared between nodes in one
+    process. profile "track" swaps in the fading-tracking receiver
+    (time-localized pilot LS + decision-directed re-estimation,
+    docs/fading_r2.md) — RX-side only, wire-identical TX."""
     _cache: dict = {}
 
     @classmethod
-    def get(cls, cfg: int):
-        if cfg not in cls._cache:
-            g = build_geometry(cfg)
-            cls._cache[cfg] = (g, TxChain(g), RxChain(g), PatternSignaler(g))
-        return cls._cache[cfg]
+    def get(cls, cfg: int, profile: str = "static"):
+        key = (cfg, profile)
+        if key not in cls._cache:
+            if profile == "track" and not build_geometry(cfg).spec.is_mfsk:
+                g = build_geometry(cfg, ls_window=(5, 21))
+                rx = RxChain(g, dd=True, dd_window=(5, 9), dd_passes=2)
+            else:
+                g = build_geometry(cfg)
+                rx = RxChain(g)
+            cls._cache[key] = (g, TxChain(g), rx, PatternSignaler(g))
+        return cls._cache[key]
 
 
 class ArqNode:
@@ -125,7 +136,8 @@ class ArqNode:
         self._rx_msgs: dict[int, P.Message] = {}
         self._set_config(self.cfg.init_configuration)
         (self._ack_geom, self._ack_tx, self._ack_rx,
-         _unused) = _PhyCache.get(self.cfg.ack_configuration)
+         _unused) = _PhyCache.get(self.cfg.ack_configuration,
+                                  self.cfg.rx_profile)
         self._ack_buf_len = (self._ack_geom.nofdm * self._ack_geom.buffer_nsymb
                              * self._ack_geom.interp)
         self._ack_max_data = self._ack_geom.frame_bytes - P.MAX_HEADER_LEN
@@ -210,7 +222,7 @@ class ArqNode:
         if self._rx_msgs:
             self._rx_msgs.clear()   # partial frames of the old config are void
         self.current_configuration = config
-        g, tx, rx, pat = _PhyCache.get(config)
+        g, tx, rx, pat = _PhyCache.get(config, self.cfg.rx_profile)
         self.geom, self._tx, self._rx, self._pat = g, tx, rx, pat
         self.max_data_length = g.frame_bytes - P.MAX_HEADER_LEN
         self.frame_ms = 1000.0 * g.total_frame_size / g.fs

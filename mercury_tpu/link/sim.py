@@ -27,12 +27,31 @@ class ChannelModel:
                                      # (overrides snr_db; noise-burst stress)
     mutilate: object = None          # callable (block_idx, samples)->samples:
                                      # surgical per-frame corruption injection
+    fading: str | None = None        # Watterson preset name ("good"/
+                                     # "moderate"/"poor"): a CONTINUOUS
+                                     # two-path Rayleigh process sampled at
+                                     # the block's simulated-time position,
+                                     # so fades persist across blocks/ACKs
+                                     # (what the gearshift actually faces)
+    fading_horizon_s: float = 1800.0  # tap-process length (simulated time)
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
         self._block_counter = 0
         self.now_s = 0.0             # set by the simulator before apply()
         self.src = None              # transmitting node, set by the simulator
+        if self.fading is not None:
+            from mercury_tpu.channel import sim as csim
+            p = csim.WATTERSON_PRESETS[self.fading]
+            self._fad_delay_s = p["delay_ms"] * 1e-3
+            fs_low = max(p["doppler_hz"] * 64.0, 8.0)
+            n_low = int(np.ceil(self.fading_horizon_s * fs_low)) + 2
+            rng_f = np.random.default_rng(self.seed + 104729)
+            self._fad_t_low = np.arange(n_low) / fs_low
+            self._fad_h = [
+                csim._fading_process(n_low, fs_low, p["doppler_hz"], rng_f)
+                / np.sqrt(2.0)
+                for _ in range(2)]
 
     def apply(self, samples: np.ndarray) -> np.ndarray:
         idx = self._block_counter
@@ -44,14 +63,30 @@ class ChannelModel:
         if self.mutilate is not None:
             samples = self.mutilate(idx, samples)
         out = samples.astype(np.float64)
+        # mean TX power BEFORE fading: the SNR parameter means the *mean*
+        # channel SNR — a deep fade must lower the instantaneous SNR, not
+        # re-normalize the noise
+        p_clean = np.mean(out ** 2)
+        if self.fading is not None:
+            from mercury_tpu.channel import sim as csim
+            fs = 48000.0
+            n = len(out)
+            t = self.now_s + np.arange(n) / fs
+            h0 = (np.interp(t, self._fad_t_low, self._fad_h[0].real)
+                  + 1j * np.interp(t, self._fad_t_low, self._fad_h[0].imag))
+            h1 = (np.interp(t, self._fad_t_low, self._fad_h[1].real)
+                  + 1j * np.interp(t, self._fad_t_low, self._fad_h[1].imag))
+            xa = csim._hilbert(out)
+            d = int(round(self._fad_delay_s * fs))
+            delayed = np.concatenate([np.zeros(d, complex), xa[: n - d]])
+            out = np.real(h0 * xa + h1 * delayed)
         if self.cfo_hz:
             from mercury_tpu.channel import sim as csim
             out = np.asarray(csim.apply_cfo(out[None], 48000.0, 1471.875,
                                             self.cfo_hz))[0]
         if self.snr_db is not None:
-            p_sig = np.mean(out ** 2)
             f_nyq = 24000.0
-            sigma = np.sqrt(2.0 * p_sig * f_nyq /
+            sigma = np.sqrt(2.0 * p_clean * f_nyq /
                             (10 ** (self.snr_db / 10.0) * 2343.75)) / np.sqrt(2.0)
             out = out + sigma * self._rng.standard_normal(len(out))
         return out.astype(np.float32)

@@ -146,3 +146,45 @@ def test_dd_tracking_lifts_fading_floor():
     assert fer["dd"] < fer["plain"]
     assert fer["dd"] <= 0.10
     assert fer["plain"] >= 0.15        # the floor the DD pass is lifting
+
+
+def test_link_channel_fading_is_continuous_and_fair():
+    """link.sim ChannelModel fading: deterministic per seed, time-coherent
+    (the tap process is sampled at the block's simulated-time position, so
+    fades persist across blocks), unit mean power, and the AWGN sigma is
+    computed from the PRE-fading power (a deep fade must lower the
+    instantaneous SNR, not re-normalize the noise)."""
+    from mercury_tpu.link.sim import ChannelModel
+
+    x = np.sin(2 * np.pi * 1500 / 48000 * np.arange(48000 * 30)
+               ).astype(np.float32)
+    cm = ChannelModel(snr_db=None, fading="moderate", seed=3)
+    cm.now_s = 0.0
+    y = cm.apply(x)
+    p = (np.asarray(y, np.float64).reshape(30, 48000) ** 2).mean(-1)
+    p_db = 10 * np.log10(p / 0.5)
+    assert p_db.max() - p_db.min() > 6.0         # it actually fades
+    assert abs(10 * np.log10(p.mean() / 0.5)) < 2.0   # ~unit mean power
+    # determinism + time-coherence: same (seed, now_s) -> same realization
+    cm2 = ChannelModel(snr_db=None, fading="moderate", seed=3)
+    cm2.now_s = 10.0
+    y2 = cm2.apply(x[:48000])
+    # interior window: the block head differs by the delayed path's
+    # zero-padding (d ≈ 48 samples) and Hilbert edge effects
+    np.testing.assert_allclose(np.asarray(y2[4800:-4800]),
+                               np.asarray(y[10 * 48000 + 4800:
+                                            11 * 48000 - 4800]),
+                               atol=2e-2)
+    # noise level is set by the clean TX power, not the faded power: with
+    # identical rng seeds the added noise must be IDENTICAL with and
+    # without fading (subtract the deterministic faded/clean signal out)
+    x1 = x[:48000]
+    cm0 = ChannelModel(snr_db=None, fading="moderate", seed=3)
+    cm0.now_s = 0.0
+    faded = np.asarray(cm0.apply(x1), np.float64)
+    cm3 = ChannelModel(snr_db=10.0, fading="moderate", seed=3)
+    cm3.now_s = 0.0
+    cm4 = ChannelModel(snr_db=10.0, fading=None, seed=3)
+    n3 = np.asarray(cm3.apply(x1), np.float64) - faded
+    n4 = np.asarray(cm4.apply(x1), np.float64) - np.asarray(x1, np.float64)
+    assert abs(float(n3.std() / n4.std()) - 1.0) < 0.02

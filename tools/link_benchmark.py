@@ -26,16 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_session(init_cfg, snr_db, n_bytes, gear, robust, seed=0, max_sim_s=3600):
+def run_session(init_cfg, snr_db, n_bytes, gear, robust, seed=0,
+                max_sim_s=3600, fading=None, profile="static"):
     from mercury_tpu.link import protocol as P
     from mercury_tpu.link.node import ArqConfig, ArqNode
     from mercury_tpu.link.sim import ChannelModel, LinkSimulator
 
     cfg = ArqConfig(init_configuration=init_cfg, gear_shift_on=gear,
-                    robust_enabled=robust)
+                    robust_enabled=robust, rx_profile=profile)
     cmd = ArqNode("VE3TPU", P.COMMANDER, cfg)
     rsp = ArqNode("N0CALL", P.RESPONDER, cfg)
-    sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=snr_db, seed=seed))
+    sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=snr_db, seed=seed,
+                                               fading=fading))
     payload = bytes(np.random.default_rng(seed).integers(0, 256, n_bytes)
                     .astype(np.uint8))
     cmd.send_data(payload)
@@ -153,6 +155,14 @@ def main():
     ap.add_argument("--chart", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fading", default=None,
+                    choices=["good", "moderate", "poor"],
+                    help="continuous Watterson fading (CCIR preset) on top "
+                    "of the AWGN; pairs with --profile track")
+    ap.add_argument("--profile", default="static",
+                    choices=["static", "track"],
+                    help="receiver profile (track = decision-directed "
+                    "fading tracking, docs/fading_r2.md)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -177,7 +187,8 @@ def main():
     results = []
     for snr in snrs:
         r = run_session(args.config, snr, args.bytes, gear, args.robust,
-                        seed=int(snr * 10) & 0xFF)
+                        seed=int(snr * 10) & 0xFF, fading=args.fading,
+                        profile=args.profile)
         results.append(r)
         print(f"SNR {snr:+.0f} dB: {r['bytes_per_min']} B/min "
               f"({r['bps']} bps), final cfg {r['final_config']}, "
