@@ -73,6 +73,10 @@ def main(argv=None) -> int:
                     "time span, e.g. 5,9, to track fading inside a frame")
     ap.add_argument("--dd-passes", type=int, default=1,
                     help="DD re-estimation iterations (default 1)")
+    ap.add_argument("--rx-profile", default=None,
+                    choices=["static", "track"],
+                    help="ARQ/SIM receiver profile (track = fading-tracking "
+                    "receiver; INI key [Modem] RxProfile)")
     args = ap.parse_args(argv)
 
     def _deep(a):
@@ -113,6 +117,8 @@ def main(argv=None) -> int:
     ini.gear_shift = bool(args.gearshift)
     ini.robust_mode = bool(args.robust)
     ini.turboshift = bool(args.turbo)
+    if args.rx_profile is not None:
+        ini.rx_profile = args.rx_profile
 
     if args.write_ini:
         ini.save(args.write_ini)
@@ -191,7 +197,8 @@ def main(argv=None) -> int:
         cfg = ArqConfig(init_configuration=args.config,
                         gear_shift_on=bool(args.gearshift),
                         robust_enabled=bool(args.robust),
-                        turboshift=bool(args.turbo))
+                        turboshift=bool(args.turbo),
+                        rx_profile=args.rx_profile or ini.rx_profile)
         cmd = ArqNode("VE3TPU", P.COMMANDER, cfg)
         rsp = ArqNode("N0CALL", P.RESPONDER, cfg)
         sim = LinkSimulator(cmd, rsp, ChannelModel(snr_db=args.snr))

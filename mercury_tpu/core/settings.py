@@ -46,6 +46,8 @@ class Settings:
     # [Modem]
     ldpc_iterations_max: int = 50
     coarse_freq_sync: bool = True      # maps to RxChain cfo_range wide/narrow
+    rx_profile: str = "static"         # "track" = fading-tracking receiver
+                                       # (decision-directed, docs/fading_r2.md)
     # [PTT]
     ptt_on_delay_ms: int = 100
     ptt_off_delay_ms: int = 200
@@ -66,7 +68,8 @@ class Settings:
                 "MaxConnectionAttempts": "max_connection_attempts",
                 "BatchSize": "batch_size"},
         "Modem": {"LDPCIterationsMax": "ldpc_iterations_max",
-                  "CoarseFreqSync": "coarse_freq_sync"},
+                  "CoarseFreqSync": "coarse_freq_sync",
+                  "RxProfile": "rx_profile"},
         "PTT": {"OnDelayMs": "ptt_on_delay_ms", "OffDelayMs": "ptt_off_delay_ms",
                 "PilotToneHz": "pilot_tone_hz", "PilotToneMs": "pilot_tone_ms"},
         "Audio": {"Transport": "transport"},
@@ -124,4 +127,5 @@ class Settings:
                          batch_size=self.batch_size,
                          link_timeout_ms=self.link_timeout_ms,
                          ptt_on_delay_ms=self.ptt_on_delay_ms,
-                         ptt_off_delay_ms=self.ptt_off_delay_ms)
+                         ptt_off_delay_ms=self.ptt_off_delay_ms,
+                         rx_profile=self.rx_profile)
