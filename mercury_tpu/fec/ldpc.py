@@ -17,6 +17,7 @@ scatters R back to the same slots (each edge written exactly once).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -93,6 +94,56 @@ def decode_gbf(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
 # their mostly-degree-3 checks need alpha near 1, high-rate near 0.7.
 _MINSUM_ALPHA = {1: 0.95, 2: 0.925, 3: 0.9, 4: 0.85, 5: 0.75, 6: 0.75,
                  8: 0.7, 14: 0.7}
+
+
+def _check_node_update(qe, c_mask, algo: str, alpha: float, beta: float):
+    """Check-node message update on [B, P, Cw] edge messages.
+
+    Shared by the flooding (`decode`) and matmul-redistribution (`decode_mm`)
+    schedules. Returns R values masked to 0 on padded edges. The SPA branch is
+    the reference's tanh/atanh update (ldpc_decoder_SPA.cc:127-210); min-sum
+    is the normalized offset variant. Both are written argmin-, inf- and
+    float-sign-product-free: those forms SIGSEGV the TPU compiler inside a
+    while_loop at B > 1 (reproduced on v5e).
+    """
+    b, p, _cw = qe.shape
+    dt = qe.dtype
+    if algo == "minsum":
+        # offset min-sum: R = sign_excl * clip(alpha*(min_excl - beta), 8.7).
+        # Exclusive min via (min1, min2, first-occurrence-of-min mask) — the
+        # eq-mask form is tie-robust (a tied-min edge keeps min1 as its
+        # exclusive min, which is exactly right).
+        big = jnp.float32(3.0e38)
+        absq = jnp.where(c_mask[None], jnp.abs(qe), big)
+        min1 = jnp.min(absq, axis=-1, keepdims=True)            # [B, P, 1]
+        eq = absq == min1
+        is_min = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1)
+        min2 = jnp.min(jnp.where(is_min, big, absq), axis=-1, keepdims=True)
+        excl_min = jnp.where(is_min, min2, min1)
+        # clamp to the SPA's effective arctanh bound (±8.7): without it
+        # min-sum messages grow without bound through graph cycles and the
+        # duplicated virtual-bit structure, and the decoder diverges
+        excl_min = jnp.clip(alpha * jnp.maximum(excl_min - beta, 0.0),
+                            0.0, 8.7)
+        # exclusive sign via integer bit parity: sign_excl[j] =
+        # (-1)^(parity of negative edges excluding j)
+        sbit = (c_mask[None] & (qe < 0)).astype(jnp.int32)
+        par = jnp.sum(sbit, axis=-1, keepdims=True)             # [B, P, 1]
+        sign_excl = (1 - 2 * ((par - sbit) & 1)).astype(dt)
+        r_vals = sign_excl * excl_min
+    else:
+        t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
+        # exclusive product via forward/backward cumulative products
+        fwd = jnp.concatenate(
+            [jnp.ones((b, p, 1), dt), jnp.cumprod(t, axis=-1)[..., :-1]],
+            axis=-1)
+        bwd = jnp.concatenate(
+            [jnp.ones((b, p, 1), dt),
+             jnp.cumprod(jnp.flip(t, axis=-1), axis=-1)[..., :-1]], axis=-1)
+        bwd = jnp.flip(bwd, axis=-1)
+        prod_excl = jnp.clip(fwd * bwd, -0.9999999, 0.9999999)
+        r_vals = 2.0 * jnp.arctanh(prod_excl)                   # [B, P, Cw]
+    return jnp.where(c_mask[None], r_vals, 0.0)
 
 
 @functools.partial(jax.jit,
@@ -172,49 +223,7 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         qf = q.reshape(b, n * vw)
         qe = jnp.take(qf, edge_flat.reshape(-1), axis=1
                       ).reshape(b, p, cw).astype(jnp.float32)
-        if algo == "minsum":
-            # offset min-sum: R = sign_excl * max(min_excl - beta, 0).
-            # Exclusive min via (min1, min2, first-occurrence-of-min mask);
-            # exclusive sign via the total sign product times the edge's own
-            # sign (sign in {+-1}). Deliberately argmin- and inf-free: an
-            # argmin over an inf-masked [B, P, Cw] inside this while_loop
-            # SIGSEGVs the TPU compiler for B > 1 (reproduced on v5e), and
-            # the big-finite sentinel gives identical results since the
-            # message clamp below caps at 8.7 anyway. The eq-mask form is
-            # also tie-robust (a tied-min edge keeps min1 as its exclusive
-            # min, which is exactly right).
-            big = jnp.float32(3.0e38)
-            absq = jnp.where(c_mask[None], jnp.abs(qe), big)
-            min1 = jnp.min(absq, axis=-1, keepdims=True)        # [B, P, 1]
-            eq = absq == min1
-            is_min = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1)
-            min2 = jnp.min(jnp.where(is_min, big, absq), axis=-1,
-                           keepdims=True)
-            excl_min = jnp.where(is_min, min2, min1)
-            # clamp to the SPA's effective arctanh bound (±8.7): without it
-            # min-sum messages grow without bound through graph cycles and
-            # the duplicated virtual-bit structure, and the decoder diverges
-            excl_min = jnp.clip(alpha * jnp.maximum(excl_min - beta, 0.0),
-                                0.0, 8.7)
-            # exclusive sign via integer bit parity: sign_excl[j] =
-            # (-1)^(parity of negative edges excluding j). Sign bits are
-            # exact in int32, and this sidesteps a float sign product —
-            # jnp.prod over the [B, P, Cw] sign tensor SIGSEGVs the TPU
-            # compiler inside this while_loop (reproduced on v5e; the
-            # parity form compiles everywhere and is cheaper anyway)
-            sbit = (c_mask[None] & (qe < 0)).astype(jnp.int32)
-            par = jnp.sum(sbit, axis=-1, keepdims=True)         # [B, P, 1]
-            sign_excl = (1 - 2 * ((par - sbit) & 1)).astype(llr.dtype)
-            r_vals = jnp.where(c_mask[None], sign_excl * excl_min, 0.0)
-        else:
-            t = jnp.where(c_mask[None], jnp.tanh(0.5 * qe), 1.0)
-            # exclusive product via forward/backward cumulative products
-            fwd = jnp.concatenate([jnp.ones((b, p, 1), llr.dtype), jnp.cumprod(t, axis=-1)[..., :-1]], axis=-1)
-            bwd_in = jnp.flip(t, axis=-1)
-            bwd = jnp.concatenate([jnp.ones((b, p, 1), llr.dtype), jnp.cumprod(bwd_in, axis=-1)[..., :-1]], axis=-1)
-            bwd = jnp.flip(bwd, axis=-1)
-            prod_excl = jnp.clip(fwd * bwd, -0.9999999, 0.9999999)
-            r_vals = 2.0 * jnp.arctanh(prod_excl)               # [B, P, Cw]
+        r_vals = _check_node_update(qe, c_mask, algo, alpha, beta)
         # redistribute check messages to the variable side: gather via the
         # inverse edge map on TPU (scatters are slow there), scatter on CPU
         # (measured faster on host)
@@ -250,5 +259,214 @@ def decode(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
     state = (q0, llr, clean0, iters0, jnp.int32(0))
     q, llr_tot, done, iters, _ = jax.lax.while_loop(cond, body, state)
 
+    bits = (llr_tot < 0).astype(jnp.int32)
+    return bits, iters.astype(jnp.int32), done
+
+
+# ---------------------------------------------------------------------------
+# Matmul-redistribution BP (flooding or layered schedule)
+#
+# The flooding decoder above moves its messages with 9,600-element edge
+# permutations; docs/roofline_r2.md measures those gathers at a ~0.4 ms/it
+# plateau that is insensitive to both message width (bf16: ~3%) and address
+# count (batch-minor: ~5%) — a fixed engine cost XLA cannot amortize. The
+# formulation below replaces BOTH redistribution directions with MXU matmuls
+# against static one-hot edge-incidence matrices: gathering Q is
+# llr_tot @ Aᵀ and scattering the posterior delta is delta @ A, where
+# A[e, v] = 1 iff edge e touches variable v. One nonzero per row makes the
+# matmul an exact selection (up to the operand dtype), the syndrome check
+# becomes bits @ H with exact small-integer counts, and the only remaining
+# gather in the loop is gone entirely.
+#
+# The same machinery gives a *layered* (serial-C / grouped-shuffled) schedule
+# for free: partition the checks into L layers and update the posterior after
+# each layer, so later layers see fresher messages — the classic ~2x
+# convergence speedup over flooding (each sweep costs the same total matmul
+# work). n_layers=1 degenerates to EXACTLY the flooding schedule (q = prior
+# posterior minus own R; posterior += sum of new R), so one implementation
+# serves both. Layers are balanced, and variable-disjoint where feasible
+# (least-loaded-feasible coloring); when a requested L is below the disjoint
+# bound the schedule is "grouped shuffled" BP — intra-layer conflicts simply
+# see one-sweep-stale messages, which only affects convergence rate, never
+# correctness (the delta scatter is additive).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _LayerPlan:
+    n_layers: int
+    pl: int                     # checks per layer (padded)
+    c_idx: np.ndarray           # [L, Pl, Cw] check -> variable (-1 pad)
+    c_mask: np.ndarray          # [L, Pl, Cw] bool
+    incidence: np.ndarray       # [L, Pl*Cw, N] float32 one-hot edge->var
+    h_counts: np.ndarray        # [N, L*Pl] float32 variable->check incidence
+
+
+def _assign_layers(c_idx: np.ndarray, n_layers: int) -> list[list[int]]:
+    """Balanced layer assignment: each check goes to the least-loaded layer
+    that shares none of its variables (disjoint), falling back to the
+    least-loaded layer outright when no disjoint one fits (grouped-shuffled).
+    Checks are placed in descending-degree order for better packing."""
+    p = c_idx.shape[0]
+    varsets = [frozenset(int(v) for v in row if v >= 0) for row in c_idx]
+    order = sorted(range(p), key=lambda i: -len(varsets[i]))
+    cap = -(-p // n_layers)
+    used: list[set] = [set() for _ in range(n_layers)]
+    members: list[list[int]] = [[] for _ in range(n_layers)]
+    for i in order:
+        open_layers = [l for l in range(n_layers) if len(members[l]) < cap]
+        disjoint = [l for l in open_layers if not (varsets[i] & used[l])]
+        pool = disjoint or open_layers
+        l = min(pool, key=lambda j: len(members[j]))
+        used[l] |= varsets[i]
+        members[l].append(i)
+    return members
+
+
+@functools.lru_cache(maxsize=None)
+def _default_layers(rate_num: int) -> int:
+    """Smallest L admitting a balanced variable-disjoint partition (searched
+    from the max variable degree upward; pure-layered convergence needs
+    disjointness, and balance keeps the padding waste ~1%)."""
+    code = load_code(rate_num)
+    c_rows = [frozenset(int(v) for v in row if v >= 0) for row in code.c_idx]
+    p = len(c_rows)
+    for n_layers in range(int(code.deg.max()), p + 1):
+        members = _assign_layers(code.c_idx, n_layers)
+        ok = True
+        for layer in members:
+            seen: set = set()
+            for i in layer:
+                if c_rows[i] & seen:
+                    ok = False
+                    break
+                seen |= c_rows[i]
+            if not ok:
+                break
+        if ok:
+            return n_layers
+    return p
+
+
+@functools.lru_cache(maxsize=None)
+def _layer_plan(rate_num: int, n_layers: int | None) -> _LayerPlan:
+    code = load_code(rate_num)
+    if n_layers is None:
+        n_layers = _default_layers(rate_num)
+    p, cw, n = code.p, code.cw, code.n
+    members = ([list(range(p))] if n_layers == 1
+               else _assign_layers(code.c_idx, n_layers))
+    pl = max(len(m) for m in members)
+    c_idx = np.full((n_layers, pl, cw), -1, dtype=np.int32)
+    for l, m in enumerate(members):
+        c_idx[l, : len(m)] = code.c_idx[m]
+    c_mask = c_idx >= 0
+    incidence = np.zeros((n_layers, pl * cw, n), dtype=np.float32)
+    li, ei, si = np.nonzero(c_mask)
+    incidence[li, ei * cw + si, c_idx[li, ei, si]] = 1.0
+    # variable -> check incidence for the syndrome matmul (counts <= Cw are
+    # exact in bf16); padded layer rows give all-zero columns -> even parity
+    h_counts = incidence.reshape(n_layers * pl * cw, n).T.reshape(
+        n, n_layers, pl, cw).sum(axis=-1).reshape(n, n_layers * pl)
+    h_counts = np.ascontiguousarray(h_counts, dtype=np.float32)
+    return _LayerPlan(n_layers=n_layers, pl=pl, c_idx=c_idx, c_mask=c_mask,
+                      incidence=incidence, h_counts=h_counts)
+
+
+def _mm(a, b, contract, mm_dtype):
+    """dot_general on the given contraction dims with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(mm_dtype), b.astype(mm_dtype),
+        (contract, ((), ())), preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rate_num", "max_iter", "algo", "beta",
+                                    "alpha", "n_layers", "mm_dtype"))
+def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
+              algo: str = "spa", beta: float = 0.0,
+              alpha: float | None = None, n_layers: int | None = None,
+              mm_dtype=jnp.bfloat16):
+    """Batched BP decode with matmul message redistribution.
+
+    Same contract as `decode` (llr [B, N] -> bits, iters, ok) with the edge
+    permutations of the flooding decoder replaced by one-hot incidence
+    matmuls on the MXU (see the block comment above), and an optional layered
+    schedule:
+
+      n_layers=None  -> smallest balanced variable-disjoint partition
+                        (layered BP: posterior refreshed after each layer,
+                        ~2x fewer sweeps than flooding at threshold SNR)
+      n_layers=1     -> exactly the flooding schedule
+      n_layers=k     -> k balanced layers (grouped-shuffled if k is below the
+                        disjoint bound)
+
+    `iters` counts full sweeps (all checks updated once), directly comparable
+    to `decode`'s iteration count. mm_dtype is the matmul operand dtype: the
+    incidence side is exact 0/1 in bf16; the data side (posterior / delta)
+    is rounded to bf16 per sweep, measured BER-neutral like the flooding
+    decoder's bf16 message store (tests/test_fec.py).
+    """
+    if algo not in ("spa", "minsum"):
+        raise ValueError("algo must be 'spa' or 'minsum'")
+    if alpha is None:
+        alpha = _MINSUM_ALPHA.get(rate_num, 0.75)
+    plan = _layer_plan(rate_num, n_layers)
+    nl, pl = plan.n_layers, plan.pl
+    code = load_code(rate_num)
+    n, cw = code.n, code.cw
+    incidence = jnp.asarray(plan.incidence, dtype=mm_dtype)  # [L, Pl*Cw, N]
+    c_mask = jnp.asarray(plan.c_mask)                        # [L, Pl, Cw]
+    h_counts = jnp.asarray(plan.h_counts, dtype=mm_dtype)    # [N, L*Pl]
+
+    llr = llr.astype(jnp.float32)
+    b = llr.shape[0]
+
+    def syndrome_ok(llr_tot):
+        bits = (llr_tot < 0)
+        cnt = _mm(bits, h_counts, (((1,), (0,)),), mm_dtype)  # [B, L*Pl]
+        return jnp.all(cnt.astype(jnp.int32) % 2 == 0, axis=-1)
+
+    def sweep(llr_tot, r_msgs):
+        def layer_step(carry, xs):
+            llr_c, r_c = carry
+            inc_l, mask_l, li = xs       # [Pl*Cw, N], [Pl, Cw], scalar
+            r_old = jax.lax.dynamic_slice(
+                r_c, (li, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                (1, b, pl, cw))[0]                            # [B, Pl, Cw]
+            q = _mm(llr_c, inc_l, (((1,), (1,)),), mm_dtype
+                    ).reshape(b, pl, cw) - r_old
+            r_new = _check_node_update(q, mask_l, algo, alpha, beta)
+            delta = (r_new - r_old).reshape(b, pl * cw)
+            llr_c = llr_c + _mm(delta, inc_l, (((1,), (0,)),), mm_dtype)
+            r_c = jax.lax.dynamic_update_slice(
+                r_c, r_new[None], (li, jnp.int32(0), jnp.int32(0),
+                                   jnp.int32(0)))
+            return (llr_c, r_c), None
+        (llr_tot, r_msgs), _ = jax.lax.scan(
+            layer_step, (llr_tot, r_msgs),
+            (incidence, c_mask, jnp.arange(nl, dtype=jnp.int32)))
+        return llr_tot, r_msgs
+
+    clean0 = syndrome_ok(llr)
+
+    def body(state):
+        llr_tot, r_msgs, done, iters, it = state
+        llr_new, r_new = sweep(llr_tot, r_msgs)
+        conv = syndrome_ok(llr_new)
+        llr_tot = jnp.where(done[:, None], llr_tot, llr_new)
+        r_msgs = jnp.where(done[None, :, None, None], r_msgs, r_new)
+        iters = jnp.where(conv & ~done, it + 1, iters)
+        done = done | conv
+        return llr_tot, r_msgs, done, iters, it + 1
+
+    def cond(state):
+        _l, _r, done, _i, it = state
+        return (it < max_iter) & ~jnp.all(done)
+
+    r0 = jnp.zeros((nl, b, pl, cw), dtype=jnp.float32)
+    iters0 = jnp.where(clean0, 0, max_iter + 1)
+    state = (llr, r0, clean0, iters0, jnp.int32(0))
+    llr_tot, _r, done, iters, _ = jax.lax.while_loop(cond, body, state)
     bits = (llr_tot < 0).astype(jnp.int32)
     return bits, iters.astype(jnp.int32), done
