@@ -50,10 +50,10 @@ class BerHarness:
     """Passband AWGN BER harness for one mode."""
 
     def __init__(self, config: int, batch: int = 32, seed: int = 0,
-                 pilot_density: int = 0):
+                 pilot_density: int = 0, **rx_kwargs):
         self.geom = build_geometry(config, pilot_density)
         self.tx = TxChain(self.geom)
-        self.rx = RxChain(self.geom)
+        self.rx = RxChain(self.geom, **rx_kwargs)
         self.batch = batch
         self.seed = seed
         self._bb_step = None       # lazily-built jitted baseband MC step

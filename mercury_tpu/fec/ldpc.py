@@ -424,7 +424,7 @@ def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
 
     def syndrome_ok(llr_tot):
         bits = (llr_tot < 0)
-        cnt = _mm(bits, h_counts, (((1,), (0,)),), mm_dtype)  # [B, L*Pl]
+        cnt = _mm(bits, h_counts, ((1,), (0,)), mm_dtype)      # [B, L*Pl]
         return jnp.all(cnt.astype(jnp.int32) % 2 == 0, axis=-1)
 
     def sweep(llr_tot, r_msgs):
@@ -434,11 +434,11 @@ def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
             r_old = jax.lax.dynamic_slice(
                 r_c, (li, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
                 (1, b, pl, cw))[0]                            # [B, Pl, Cw]
-            q = _mm(llr_c, inc_l, (((1,), (1,)),), mm_dtype
+            q = _mm(llr_c, inc_l, ((1,), (1,)), mm_dtype
                     ).reshape(b, pl, cw) - r_old
             r_new = _check_node_update(q, mask_l, algo, alpha, beta)
             delta = (r_new - r_old).reshape(b, pl * cw)
-            llr_c = llr_c + _mm(delta, inc_l, (((1,), (0,)),), mm_dtype)
+            llr_c = llr_c + _mm(delta, inc_l, ((1,), (0,)), mm_dtype)
             r_c = jax.lax.dynamic_update_slice(
                 r_c, r_new[None], (li, jnp.int32(0), jnp.int32(0),
                                    jnp.int32(0)))
