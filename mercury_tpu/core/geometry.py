@@ -379,7 +379,8 @@ _GEOMETRY_CACHE: dict[tuple, ModeGeometry] = {}
 def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
                    with_pre_eq: bool = True,
                    estimator: str = "auto",
-                   ls_window: tuple[int, int] | None = None) -> ModeGeometry:
+                   ls_window: tuple[int, int] | None = None,
+                   carrier_offset_hz: float = 0.0) -> ModeGeometry:
     """estimator: "auto" (default) uses the windowed-LS estimator for every
     OFDM mode — including CONFIG_15/16, where the reference's table says
     zero-force. The estimator is receiver-side only (no wire impact), and
@@ -392,7 +393,8 @@ def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
     tracking estimator that follows fading inside a frame, at some AWGN
     sensitivity cost; pair it with RxChain(dd=..., dd_window=...) for the
     full fading profile (docs/fading_r2.md)."""
-    key = (config, pilot_density, with_pre_eq, estimator, ls_window)
+    key = (config, pilot_density, with_pre_eq, estimator, ls_window,
+           carrier_offset_hz)
     if key in _GEOMETRY_CACHE:
         return _GEOMETRY_CACHE[key]
 
@@ -407,7 +409,11 @@ def build_geometry(config: int, pilot_density: int = HIGH_DENSITY,
     ngi = int(nfft * GI)
     nofdm = nfft + ngi
     fs = INTERP * (BANDWIDTH / nc) * nfft  # 48000 (telecom_system.cc:1569)
-    fc = CARRIER_FREQ
+    # carrier_offset_hz: radio-type passband shift (reference
+    # main.cc:200-218 / physical_config.cc:88 — sBitx radios put the modem
+    # at +15 kHz); flows into the passband mixers, the TX band-edge FIRs
+    # and the pre-equalization probe via fc
+    fc = CARRIER_FREQ + carrier_offset_hz
 
     mfsk = None
     if spec.is_mfsk:

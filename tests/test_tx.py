@@ -43,6 +43,39 @@ def test_tx_passband_parity(golden, chains, cfg, density):
                                atol=5e-10)
 
 
+@pytest.mark.parametrize("cfg", [0, 9])
+def test_tx_passband_parity_sbitx(golden, cfg):
+    """sBitx radio type: the +15 kHz carrier shift (reference
+    main.cc:200-218, physical_config.cc:88) must reproduce the reference's
+    shifted passband, unfiltered and through the (re-designed, band-shifted)
+    TX FIRs. RX loopback at the shifted carrier is covered implicitly: the
+    RX chain derives its mixers from the same geometry fc."""
+    g = build_geometry(cfg, carrier_offset_hz=15000.0)
+    assert g.fc == pytest.approx(16471.875)
+    chain = TxChain(g, real_dtype=jnp.float64)
+    t = f"cfg{cfg}sb"
+    payload = golden(f"{t}_payload_bytes").astype(np.uint8)
+    nofilter = np.asarray(chain.transmit(payload[None], filtered=False))[0]
+    single = np.asarray(chain.transmit(payload[None], filtered=True))[0]
+    np.testing.assert_allclose(nofilter, golden(f"{t}_tx_passband_nofilter"),
+                               atol=5e-10)
+    np.testing.assert_allclose(single, golden(f"{t}_tx_passband_single"),
+                               atol=5e-10)
+
+
+@pytest.mark.parametrize("cfg", [0, 9])
+def test_rx_decodes_sbitx_reference_buffer(golden, cfg):
+    """The reference's sBitx-carrier capture buffer decodes through the
+    repo RX chain built at the shifted carrier."""
+    from mercury_tpu.modem.rx import RxChain
+    rx = RxChain(build_geometry(cfg, carrier_offset_hz=15000.0))
+    buf = golden(f"cfg{cfg}sb_rx_buffer")[None].astype(np.float32)
+    res = rx.receive(buf)
+    assert bool(np.asarray(res.crc_ok)[0])
+    ref_bytes = golden(f"cfg{cfg}sb_rx_bytes").astype(np.uint8)
+    assert (np.asarray(res.payload)[0] == ref_bytes).all()
+
+
 def test_tx_batched_consistency(chains):
     """A batch of identical payloads must produce identical frames."""
     chain = chains(0)

@@ -38,6 +38,8 @@
 #include <vector>
 #include <complex>
 
+extern double carrier_frequency_offset;  // defined in stubs.cc
+
 static std::string g_outdir;
 static FILE *g_meta;
 static bool g_meta_first = true;
@@ -341,15 +343,23 @@ int main(int argc, char **argv) {
   // per-config vectors with LOW_DENSITY pilots under a `cfg<N>ld_` prefix
   // into meta_low.json (reference density tables: telecom_system.cc:1818-1876)
   bool low_density = (argc > 2 && std::string(argv[2]) == "low");
-  int first_cfg_arg = low_density ? 3 : 2;
-  std::string meta_path = g_outdir + (low_density ? "/meta_low.json" : "/meta.json");
+  // sbitx mode: `golden_gen <outdir> sbitx [cfg...]` dumps the same vectors
+  // with the sBitx +15 kHz carrier shift (reference main.cc:200-218,
+  // physical_config.cc:88) under a `cfg<N>sb_` prefix into meta_sbitx.json
+  bool sbitx = (argc > 2 && std::string(argv[2]) == "sbitx");
+  int first_cfg_arg = (low_density || sbitx) ? 3 : 2;
+  std::string meta_path = g_outdir + (low_density ? "/meta_low.json"
+                                      : sbitx ? "/meta_sbitx.json"
+                                              : "/meta.json");
   g_meta = fopen(meta_path.c_str(), "w");
   fprintf(g_meta, "{\n");
 
-  if (!low_density) {
+  if (!low_density && !sbitx) {
     dump_prng();
     dump_ldpc_tables();
   }
+  if (sbitx)
+    carrier_frequency_offset = 15000.0;
 
   static cl_telecom_system ts;
   ts.operation_mode = ARQ_MODE; // suppress pilot print
@@ -365,7 +375,7 @@ int main(int argc, char **argv) {
   }
   for (int c : cfgs) {
     fprintf(stderr, "=== config %d%s ===\n", c, low_density ? " (low density)" : "");
-    dump_config(ts, c, std::to_string(c) + (low_density ? "ld" : ""));
+    dump_config(ts, c, std::to_string(c) + (low_density ? "ld" : sbitx ? "sb" : ""));
   }
 
   fprintf(g_meta, "\n}\n");
