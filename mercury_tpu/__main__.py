@@ -51,9 +51,12 @@ def main(argv=None) -> int:
     ap.add_argument("--snr", type=float, default=20.0)
     ap.add_argument("--bytes", type=int, default=500)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    ap.add_argument("--ldpc-algo", default="spa", choices=["spa", "minsum"],
-                    help="LDPC decoder: spa (full sensitivity, default) or "
-                    "minsum (faster check update, ~0.2-0.4 dB penalty)")
+    ap.add_argument("--ldpc-algo", default="spa",
+                    choices=["spa", "minsum", "layered", "layered-minsum"],
+                    help="LDPC decoder: spa (full sensitivity, default), "
+                    "minsum (faster check update, ~0.2-0.4 dB penalty), "
+                    "layered (matmul-BP, SPA sensitivity at ~2x fewer "
+                    "sweeps), layered-minsum")
     ap.add_argument("--deep-sync", default=None,
                     choices=["auto", "on", "off"],
                     help="global known-preamble acquisition (default auto: "
@@ -73,6 +76,10 @@ def main(argv=None) -> int:
                     "time span, e.g. 5,9, to track fading inside a frame")
     ap.add_argument("--dd-passes", type=int, default=1,
                     help="DD re-estimation iterations (default 1)")
+    ap.add_argument("-r", "--radio", default=None,
+                    choices=["stockhf", "sbitx"],
+                    help="radio type (reference main.cc:200-218): sbitx "
+                    "shifts the carrier +15 kHz; INI key [Station] RadioType")
     ap.add_argument("--rx-profile", default=None,
                     choices=["static", "track"],
                     help="ARQ/SIM receiver profile (track = fading-tracking "
@@ -119,6 +126,10 @@ def main(argv=None) -> int:
     ini.turboshift = bool(args.turbo)
     if args.rx_profile is not None:
         ini.rx_profile = args.rx_profile
+    if args.radio is not None:
+        ini.radio_type = args.radio
+    # radio-type carrier shift (reference main.cc:200-218): +15 kHz for sBitx
+    carrier_off = 15000.0 if ini.radio_type == "sbitx" else 0.0
 
     if args.write_ini:
         ini.save(args.write_ini)
@@ -160,7 +171,8 @@ def main(argv=None) -> int:
     if args.mode == "TX_TEST":
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.tx import TxChain
-        g = build_geometry(args.config, estimator=args.estimator)
+        g = build_geometry(args.config, estimator=args.estimator,
+                           carrier_offset_hz=carrier_off)
         tx = TxChain(g)
         data = (sys.stdin.buffer.read(g.frame_bytes) if args.input in (None, "-")
                 else open(args.input, "rb").read(g.frame_bytes))
@@ -174,7 +186,8 @@ def main(argv=None) -> int:
     if args.mode == "RX_TEST":
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.modem.rx import RxChain
-        g = build_geometry(args.config, estimator=args.estimator)
+        g = build_geometry(args.config, estimator=args.estimator,
+                           carrier_offset_hz=carrier_off)
         rx = RxChain(g, **_rx_kwargs(args))
         samples = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
@@ -195,6 +208,7 @@ def main(argv=None) -> int:
         from mercury_tpu.link.node import ArqConfig, ArqNode
         from mercury_tpu.link.sim import ChannelModel, LinkSimulator
         cfg = ArqConfig(init_configuration=args.config,
+                        carrier_offset_hz=carrier_off,
                         gear_shift_on=bool(args.gearshift),
                         robust_enabled=bool(args.robust),
                         turboshift=bool(args.turbo),
@@ -255,7 +269,8 @@ def main(argv=None) -> int:
         from mercury_tpu.core.geometry import build_geometry
         from mercury_tpu.native import ShmPayloadRing
 
-        g = build_geometry(args.config, estimator=args.estimator)
+        g = build_geometry(args.config, estimator=args.estimator,
+                           carrier_offset_hz=carrier_off)
         ring = ShmPayloadRing(args.shm, 131072, create=True)
         out_path = args.output or ("tx_shm_stream.f32" if args.mode == "TX_SHM"
                                    else None)
@@ -314,22 +329,31 @@ def main(argv=None) -> int:
         from mercury_tpu.dashboard import Dashboard, level_dbfs
         from mercury_tpu.modem.rx import RxChain
 
-        g = build_geometry(args.config, estimator=args.estimator)
+        g = build_geometry(args.config, estimator=args.estimator,
+                           carrier_offset_hz=carrier_off)
         rx = RxChain(g, **_rx_kwargs(args))
         dash = Dashboard(color=sys.stdout.isatty())
         stream = np.fromfile(args.input, dtype=np.float32)
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
         pos = 0
+        noise_floor = None
         while pos < len(stream):
             win = np.zeros(buf_len, np.float32)
             n = min(buf_len, len(stream) - pos)
             win[:n] = stream[pos: pos + n]
             res = rx.receive(win[None])
             ok = bool(np.asarray(res.crc_ok)[0])
+            # idle-channel signal strength + noise floor (reference
+            # measure_signal_only path, telecom_system.cc:1520-1541)
+            dbm = float(np.asarray(rx.measure_signal_dbm(win[None]))[0])
+            if not ok:
+                noise_floor = (dbm if noise_floor is None
+                               else noise_floor + 0.2 * (dbm - noise_floor))
             state = {"config": args.config,
                      "link_status": "DECODED" if ok else "SEARCHING",
                      "snr_db": float(np.asarray(res.snr_db)[0]),
                      "cfo_hz": float(np.asarray(res.freq_offset)[0]),
+                     "signal_dbm": dbm, "noise_floor_dbm": noise_floor,
                      "rx_level_dbfs": level_dbfs(win)}
             const = None
             if ok and not g.spec.is_mfsk:

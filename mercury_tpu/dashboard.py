@@ -107,7 +107,8 @@ class Dashboard:
     def frame(self, state: dict | None = None,
               constellation: np.ndarray | None = None) -> str:
         """state keys (all optional): link_status, config, snr_db, cfo_hz,
-        buffer_tx, throughput_bps, rx_level_dbfs, tx_level_dbfs, ptt."""
+        signal_dbm, noise_floor_dbm, buffer_tx, throughput_bps,
+        rx_level_dbfs, tx_level_dbfs, ptt."""
         s = state or {}
         lines = []
         hdr = (f" mercury-tpu  cfg={s.get('config', '-'):>3}  "
@@ -118,6 +119,13 @@ class Dashboard:
                      f"CFO {s.get('cfo_hz', float('nan')):+7.2f} Hz   "
                      f"buf {s.get('buffer_tx', 0):>6} B   "
                      f"{s.get('throughput_bps', 0.0):7.1f} bps")
+        if "signal_dbm" in s:
+            nf = s.get("noise_floor_dbm")
+            nf_s = f"{nf:6.1f} dBm" if nf is not None else "   --    "
+            lines.append(f" SIG {s['signal_dbm']:6.1f} dBm  noise floor "
+                         f"{nf_s}" + (
+                             f"  (S/N {s['signal_dbm'] - nf:+5.1f} dB)"
+                             if nf is not None else ""))
         if "rx_level_dbfs" in s:
             lines.append(" RX " + render_vu(s["rx_level_dbfs"]))
         if "tx_level_dbfs" in s:

@@ -34,6 +34,7 @@ card or socket.
 
 from __future__ import annotations
 
+import dataclasses
 import struct
 from dataclasses import dataclass
 from typing import Callable
@@ -72,6 +73,23 @@ class ArqConfig:
     turboshift: bool = False      # probe the ladder upward right after connect
     rx_profile: str = "static"    # "track" = fading-tracking receiver
                                   # (decision-directed, docs/fading_r2.md)
+    carrier_offset_hz: float = 0.0  # radio-type passband shift: 15000.0 for
+                                    # sBitx (reference main.cc:200-218)
+    # stock-Mercury wire compatibility: emit exactly the reference's framing
+    # (tests/test_link_interop.py proves byte-identity against frames dumped
+    # from the reference's own serializer). Differences vs the repo's native
+    # framing: control frames sent in duplicate (reference
+    # control_batch_size=2, datalink_config.cc:58 — a stock responder only
+    # processes a control at sequence >= control_batch_size-1), DATA
+    # sequence = batch position (arq_common.cc:2161), BLOCK_END as a
+    # separate 1-byte control after the data ack (arq_commander.cc:1616-1620)
+    # instead of riding the batch with count+offset, 3-byte SET_CONFIG, and
+    # pattern acks for controls instead of ACK_CONTROL+SNR frames. The
+    # RECEIVE side accepts both framings regardless of this flag, except
+    # SET_CONFIG, whose stock and extended payloads are indistinguishable
+    # after PHY zero-padding — there the flag decides the parse. Turboshift
+    # is forced off under compat (its probe flow uses extended SET_CONFIG).
+    wire_compat: bool = False
 
 
 @dataclass
@@ -97,14 +115,17 @@ class _PhyCache:
     _cache: dict = {}
 
     @classmethod
-    def get(cls, cfg: int, profile: str = "static"):
-        key = (cfg, profile)
+    def get(cls, cfg: int, profile: str = "static",
+            carrier_offset_hz: float = 0.0):
+        key = (cfg, profile, carrier_offset_hz)
         if key not in cls._cache:
+            off = carrier_offset_hz
             if profile == "track" and not build_geometry(cfg).spec.is_mfsk:
-                g = build_geometry(cfg, ls_window=(5, 21))
+                g = build_geometry(cfg, ls_window=(5, 21),
+                                   carrier_offset_hz=off)
                 rx = RxChain(g, dd=True, dd_window=(5, 9), dd_passes=2)
             else:
-                g = build_geometry(cfg)
+                g = build_geometry(cfg, carrier_offset_hz=off)
                 rx = RxChain(g)
             cls._cache[key] = (g, TxChain(g), rx, PatternSignaler(g))
         return cls._cache[key]
@@ -117,6 +138,10 @@ class ArqNode:
                  config: ArqConfig | None = None,
                  on_event: Callable[[str], None] | None = None):
         self.cfg = config or ArqConfig()
+        if self.cfg.wire_compat and self.cfg.turboshift:
+            # the turboshift probe flow rides the extended SET_CONFIG
+            # payload; a stock peer cannot follow it
+            self.cfg = dataclasses.replace(self.cfg, turboshift=False)
         self.call_sign = call_sign.upper()
         self.role = role
         self.on_event = on_event or (lambda s: None)
@@ -137,7 +162,8 @@ class ArqNode:
         self._set_config(self.cfg.init_configuration)
         (self._ack_geom, self._ack_tx, self._ack_rx,
          _unused) = _PhyCache.get(self.cfg.ack_configuration,
-                                  self.cfg.rx_profile)
+                                  self.cfg.rx_profile,
+                                  self.cfg.carrier_offset_hz)
         self._ack_buf_len = (self._ack_geom.nofdm * self._ack_geom.buffer_nsymb
                              * self._ack_geom.interp)
         self._ack_max_data = self._ack_geom.frame_bytes - P.MAX_HEADER_LEN
@@ -175,6 +201,11 @@ class ArqNode:
         # --- SNR measurements (reference st_measurements, arq.h:134-140)
         self.snr_local: float | None = None   # SNR of frames we decode
         self.snr_remote: float | None = None  # SNR the peer reports hearing us
+        # idle-channel signal measurement (reference signal_stregth_dbm,
+        # arq_common.cc:1714-1736): signal_dbm = last measured window;
+        # noise_floor_dbm = EMA over windows seen while LISTENING/IDLE
+        self.signal_dbm: float | None = None
+        self.noise_floor_dbm: float | None = None
 
         # --- turboshift probe state (reference: arq_commander.cc:1135-1167;
         # desync-safe variant — see _poll_turbo)
@@ -222,7 +253,8 @@ class ArqNode:
         if self._rx_msgs:
             self._rx_msgs.clear()   # partial frames of the old config are void
         self.current_configuration = config
-        g, tx, rx, pat = _PhyCache.get(config, self.cfg.rx_profile)
+        g, tx, rx, pat = _PhyCache.get(config, self.cfg.rx_profile,
+                                       self.cfg.carrier_offset_hz)
         self.geom, self._tx, self._rx, self._pat = g, tx, rx, pat
         self.max_data_length = g.frame_bytes - P.MAX_HEADER_LEN
         self.frame_ms = 1000.0 * g.total_frame_size / g.fs
@@ -266,6 +298,16 @@ class ArqNode:
         pb = np.asarray(self._tx.transmit_batch(batch))
         return pb.reshape(-1)
 
+    def _modulate_control(self, msg: P.Message) -> np.ndarray:
+        """Modulate a control message. In wire-compat mode, send the stock
+        duplicate pair (control_batch_size=2, sequence = batch position —
+        a stock responder waits for sequence >= control_batch_size-1 before
+        processing, arq_responder.cc:163-178)."""
+        if self.cfg.wire_compat:
+            return self._modulate_batch(
+                [dataclasses.replace(msg, sequence=i) for i in range(2)])
+        return self._modulate_batch([msg])
+
     def _modulate_ack_frame(self, msg: P.Message) -> np.ndarray:
         """One LDPC frame at the robust ack configuration (the reference
         sends ACK_MULTI batches at ack_configuration,
@@ -282,10 +324,28 @@ class ArqNode:
 
     # ------------------------------------------------------------------
     # capture handling
+    def _measure_idle(self, samples: np.ndarray, update_floor: bool) -> None:
+        """Signal-strength measurement on a capture window (reference idle
+        measurement, arq_common.cc:1714-1736). Updates signal_dbm always;
+        folds the window into the noise-floor EMA when the link state says
+        the channel should be idle."""
+        dbm = float(np.asarray(
+            self._rx.measure_signal_dbm(samples[None].astype(np.float32)))[0])
+        self.signal_dbm = dbm
+        if update_floor:
+            if self.noise_floor_dbm is None:
+                self.noise_floor_dbm = dbm
+            else:
+                self.noise_floor_dbm += 0.2 * (dbm - self.noise_floor_dbm)
+
     def on_samples(self, samples: np.ndarray, now: float) -> None:
         """Deliver a received passband block; the node decodes according to
         its state."""
         self._last_now = now
+        if self.link_status in (P.LISTENING, P.IDLE, P.DROPPED):
+            # idle channel: this window is the noise floor (reference
+            # measures exactly in these states, arq_common.cc:1714)
+            self._measure_idle(samples, update_floor=True)
         if self._await_ack_kind is not None:
             # expecting an ACK: tone pattern first (cheap, config-independent)
             metric, _ = self._pat.detect_ack(samples[None])
@@ -307,6 +367,13 @@ class ArqNode:
         if self.role == P.RESPONDER or self.link_status == P.CONNECTED:
             decoded_before = self.stats.received_data
             got_ctrl = self._receive_frames(samples, now)
+            if (self.cfg.wire_compat and self.role == P.RESPONDER
+                    and self.stats.received_data > decoded_before):
+                # stock flow: the responder pattern-acks a received data
+                # batch on its own (arq_responder.cc:429-485) — BLOCK_END
+                # arrives later as a separate control, so the batch itself
+                # carries nothing to trigger the ack
+                self._queue_pattern_ack(now)
             if (self.role == P.RESPONDER
                     and self.stats.received_data == decoded_before
                     and not got_ctrl):
@@ -315,6 +382,10 @@ class ArqNode:
                 bmetric, _ = self._pat.detect_break(samples[None])
                 if float(np.asarray(bmetric)[0]) >= self._pat.threshold:
                     self._on_break_detected(now)
+                else:
+                    # undecodable window while connected: signal strength is
+                    # the only evidence this channel state produces
+                    self._measure_idle(samples, update_floor=False)
 
     def _try_decode_ack_frame(self, samples: np.ndarray) -> P.Message | None:
         """Attempt to decode one frame at the ack configuration."""
@@ -365,7 +436,12 @@ class ArqNode:
             return True
 
         base = anchor * frame_len + t0        # absolute start of the anchor
-        margin = 64
+        # sibling frames re-sync individually within +-margin of their
+        # nominal frame_len slots (known-preamble matched filter): a
+        # transport that pads, coalesces or drifts between frames cannot
+        # break the fixed-slot assumption (reference drift tolerance:
+        # arq_common.cc:2690-2730)
+        margin = 256
         rows = np.zeros((n_frames, buf_len), dtype=np.float32)
         for k in range(n_frames):
             start = base + (k - anchor) * frame_len - margin
@@ -373,11 +449,12 @@ class ArqNode:
             src = samples[max(start, 0): start + buf_len]
             rows[k, off: off + len(src)] = src
         import jax.numpy as jnp
-        delays = np.full(n_frames, margin - 8, dtype=np.int32)
+        delays = np.full(n_frames, margin, dtype=np.int32)
         freqs = np.full(n_frames, float(np.asarray(res0.freq_offset)[0]),
                         dtype=np.float32)
-        payloads, crc_ok, _i, _s, _mh = self._rx.decode_at_jit(
-            jnp.asarray(rows), jnp.asarray(delays), jnp.asarray(freqs))
+        payloads, crc_ok, _i, _s, _mh, _d, _score = self._rx.refine_decode_jit(
+            jnp.asarray(rows), jnp.asarray(delays), jnp.asarray(freqs),
+            margin)
         ok = np.asarray(crc_ok)
         pl = np.asarray(payloads)
         for k in range(n_frames):
@@ -402,7 +479,11 @@ class ArqNode:
         self._probe_revert_cfg = None
         if msg.type in (P.DATA_LONG, P.DATA_SHORT):
             if self.link_status == P.CONNECTED:
-                if msg.sequence != self._rx_block_seq:
+                # a stock commander numbers frames by batch position
+                # (arq_common.cc:2161), so sequence carries no block
+                # identity there — block boundaries come from BLOCK_END
+                if (not self.cfg.wire_compat
+                        and msg.sequence != self._rx_block_seq):
                     # a new block started: stale partials of the previous
                     # block must not satisfy this block's BLOCK_END count
                     self._rx_msgs.clear()
@@ -446,19 +527,35 @@ class ArqNode:
                 if snr > -90.0:
                     self.snr_remote = snr
             # answer with an ACK_CONTROL frame carrying our measured SNR
-            # (reference: arq_responder.cc:682-697)
-            self._queue_ack_control(P.TEST_CONNECTION)
+            # (reference: arq_responder.cc:682-697); a stock peer expects
+            # the tone-pattern ack instead (arq_responder.cc:203-216)
+            if self.cfg.wire_compat:
+                self._queue_pattern_ack(now)
+            else:
+                self._queue_ack_control(P.TEST_CONNECTION)
         elif code == P.SET_CONFIG and self.role == P.RESPONDER:
             fwd = msg.data[1]
             self._queue_pattern_ack(now, new_config=fwd)
-            # every config switch (gearshift or turbo probe) arms the revert
-            # deadline: if our ACK is lost the commander stays on the old
-            # config, and without a revert the two ends desync permanently
-            self._pending_probe_revert = int(msg.data[2])
-            # asymmetric reverse config (the config WE should transmit at
-            # after a role switch — arq_responder.cc:717-744)
-            if len(msg.data) >= 5 and msg.data[4] != CONFIG_UNCHANGED:
-                self._pending_reverse_cfg = int(msg.data[4])
+            if self.cfg.wire_compat:
+                # stock payload [code, forward, reverse]
+                # (arq_commander.cc:319-341): data[2] is the reverse config
+                # (our TX direction after a role switch); there is no revert
+                # byte on the stock wire, so revert to the pre-switch config
+                # if the commander never confirms. PHY zero-padding makes
+                # stock and extended payloads indistinguishable on the wire,
+                # hence the flag decides the parse here.
+                self._pending_probe_revert = self.current_configuration
+                self._pending_reverse_cfg = int(msg.data[2])
+            else:
+                # every config switch (gearshift or turbo probe) arms the
+                # revert deadline: if our ACK is lost the commander stays on
+                # the old config, and without a revert the two ends desync
+                # permanently
+                self._pending_probe_revert = int(msg.data[2])
+                # asymmetric reverse config (the config WE should transmit
+                # at after a role switch — arq_responder.cc:717-744)
+                if len(msg.data) >= 5 and msg.data[4] != CONFIG_UNCHANGED:
+                    self._pending_reverse_cfg = int(msg.data[4])
         elif code == P.SWITCH_ROLE and self.role == P.RESPONDER \
                 and self.link_status == P.CONNECTED:
             # become the commander after acking (reference:
@@ -495,6 +592,26 @@ class ArqNode:
             self.on_event("DISCONNECTED")
 
     def _on_block_end(self, msg: P.Message, now: float) -> None:
+        if msg.length < 2 or msg.data[1] == 0:
+            # stock BLOCK_END (reference add_message_control generic branch:
+            # 1 byte, no count/offset — PHY zero-padding then makes data[1]
+            # read 0, which an extended BLOCK_END never carries: its count
+            # is always >= 1). Stock semantics: deliver every
+            # received message of the block in id order and ack — the stock
+            # commander only sends BLOCK_END once the whole block is acked
+            # (arq_commander.cc:1616-1620, copy_data_to_buffer
+            # arq_common.cc). No stream-offset dedupe is possible here; a
+            # resent stock BLOCK_END after our lost ack re-acks the (now
+            # empty) block without duplicating delivery.
+            if self._rx_msgs:
+                for i in sorted(self._rx_msgs):
+                    m = self._rx_msgs[i]
+                    self.fifo_rx.extend(m.data[: m.length])
+                self._rx_msgs.clear()
+                self._had_acked_block = True
+                self._last_ack_multi = None
+            self._queue_pattern_ack(now)
+            return
         expected = msg.data[1]
         off = int.from_bytes(msg.data[2:6], "little") if len(msg.data) >= 6 else 0
         if msg.sequence != self._rx_block_seq:
@@ -578,6 +695,15 @@ class ArqNode:
                 self._tried_repeat = False
                 self._resends_left = self.cfg.n_resends
                 return
+            if self.cfg.wire_compat:
+                # stock flow: the pattern acks the data frames; block
+                # completion happens on the BLOCK_END control's ack
+                # (arq_commander.cc:1288-1301)
+                for m in self._block_msgs:
+                    m.status = P.ACKED
+                self._pending_control = P.Message(
+                    type=P.CONTROL, length=1, data=bytes([P.BLOCK_END]))
+                return
             self._complete_block(now)
         elif kind == "control":
             self._control_acked(now)
@@ -587,8 +713,10 @@ class ArqNode:
         data, ACK_CONTROL for control probes)."""
         kind = self._await_ack_kind
         if msg.type in (P.ACK_MULTI, P.ACK_RANGE) and kind == "data":
-            if msg.sequence != (self._block_seq & 0xFF):
-                return                       # stale ack of an older block
+            if (not self.cfg.wire_compat
+                    and msg.sequence != (self._block_seq & 0xFF)):
+                return   # stale ack of an older block (stock acks carry the
+                # batch position in sequence instead, arq_responder.cc:523)
             if msg.type == P.ACK_RANGE:
                 ids = set(range(msg.data[0], msg.data[1] + 1))
             else:
@@ -734,6 +862,11 @@ class ArqNode:
         elif code == P.CLOSE_CONNECTION:
             self.link_status = P.IDLE
             self.on_event("DISCONNECTED")
+        elif code == P.BLOCK_END and self._block_msgs:
+            # stock two-phase flow (wire_compat): data pattern-acked, then
+            # BLOCK_END acked -> the block is complete
+            # (arq_commander.cc:1288-1301)
+            self._complete_block(now)
         self._pending_control = None
         self._resends_left = self.cfg.n_resends
 
@@ -950,7 +1083,7 @@ class ArqNode:
                     self._tried_repeat = True
                     ctrl = P.Message(type=P.CONTROL, length=1,
                                      data=bytes([P.REPEAT_LAST_ACK]))
-                    out.append(self._modulate_batch([ctrl]))
+                    out.append(self._modulate_control(ctrl))
                     self._start_wait("data", now)
                     return out
                 self._tried_repeat = False
@@ -1007,7 +1140,7 @@ class ArqNode:
             if (self._turbo_active and self._turbo_stage is None
                     and self._pending_control.data[0] == P.SET_CONFIG):
                 self._turbo_stage = "set"
-            out.append(self._modulate_batch([self._pending_control]))
+            out.append(self._modulate_control(self._pending_control))
             self._start_wait("control", now)
             return out
 
@@ -1034,11 +1167,19 @@ class ArqNode:
                 rev = CONFIG_UNCHANGED
                 if self.snr_local is not None:
                     rev = get_configuration(self.snr_local)
-                data = bytes([P.SET_CONFIG, nxt & 0xFF,
-                              self.current_configuration & 0xFF, 0, rev])
+                if self.cfg.wire_compat:
+                    # stock payload (arq_commander.cc:319-341):
+                    # [code, forward, reverse] — no revert/flag bytes
+                    rev_stock = (self.reverse_configuration
+                                 if self.reverse_configuration is not None
+                                 else nxt)
+                    data = bytes([P.SET_CONFIG, nxt & 0xFF, rev_stock & 0xFF])
+                else:
+                    data = bytes([P.SET_CONFIG, nxt & 0xFF,
+                                  self.current_configuration & 0xFF, 0, rev])
                 self._pending_control = P.Message(type=P.CONTROL,
                                                   length=len(data), data=data)
-                out.append(self._modulate_batch([self._pending_control]))
+                out.append(self._modulate_control(self._pending_control))
                 self._start_wait("control", now)
                 return out
 
@@ -1049,7 +1190,7 @@ class ArqNode:
                 and now - self._last_peer_activity > self.cfg.link_timeout_ms / 3):
             self._pending_control = P.Message(type=P.CONTROL, length=1,
                                               data=bytes([P.KEEP_ALIVE]))
-            out.append(self._modulate_batch([self._pending_control]))
+            out.append(self._modulate_control(self._pending_control))
             self._start_wait("control", now)
             return out
 
@@ -1066,16 +1207,23 @@ class ArqNode:
                 return out
             batch = list(to_send)
             count = len(self._block_msgs)
-            # BLOCK_END carries the message count and the block's byte
-            # offset in the TX stream so the responder can exactly dedupe a
-            # retransmit of a block whose ACK was lost — even across
-            # reconnects and config changes that reframe the bytes
-            # (extension over the reference, which can deliver duplicates in
-            # that scenario)
-            batch.append(P.Message(
-                type=P.CONTROL, length=6, sequence=self._block_seq & 0xFF,
-                data=bytes([P.BLOCK_END, count])
-                + int(self._block_off).to_bytes(4, "little")))
+            if self.cfg.wire_compat:
+                # stock framing: sequence = batch position
+                # (arq_common.cc:2161); BLOCK_END goes out as its own
+                # control message after the data ack (arq_commander.cc:1616)
+                for i, m in enumerate(batch):
+                    m.sequence = i
+            else:
+                # BLOCK_END carries the message count and the block's byte
+                # offset in the TX stream so the responder can exactly
+                # dedupe a retransmit of a block whose ACK was lost — even
+                # across reconnects and config changes that reframe the
+                # bytes (extension over the reference, which can deliver
+                # duplicates in that scenario)
+                batch.append(P.Message(
+                    type=P.CONTROL, length=6, sequence=self._block_seq & 0xFF,
+                    data=bytes([P.BLOCK_END, count])
+                    + int(self._block_off).to_bytes(4, "little")))
             out.append(self._modulate_batch(batch))
             if self._block_sent_once:
                 self.stats.resent_data += len(to_send)
@@ -1091,7 +1239,15 @@ class ArqNode:
         return out
 
     def _make_test_connection(self) -> P.Message:
-        snr = self.snr_local if self.snr_local is not None else -99.9
+        snr = self.snr_local
+        if snr is None and (self.signal_dbm is not None
+                            and self.noise_floor_dbm is not None):
+            # no decoded frame yet: fall back to the idle-channel estimate
+            # (last window's signal over the idle noise floor) so turboshift
+            # seeding on the other end gets evidence instead of -99.9
+            snr = self.signal_dbm - self.noise_floor_dbm
+        if snr is None:
+            snr = -99.9
         data = bytes([P.TEST_CONNECTION]) + struct.pack("<f", float(snr))
         return P.Message(type=P.CONTROL, length=len(data), data=data)
 

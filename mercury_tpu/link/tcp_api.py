@@ -169,6 +169,14 @@ class ArqTcpServer:
             self._reply("OK")   # fixed 2343.75 Hz numerology (reference parity)
         elif command == "BUFFER TX":
             self._reply(f"BUFFER {len(node.fifo_tx)}")
+        elif command == "SIGNAL":
+            # idle-channel measurement readout (reference surfaces
+            # signal_stregth_dbm to its GUI/API, arq_common.cc:1714-1736):
+            # last window dBm, idle noise floor dBm, decoded-frame SNR dB
+            def _f(v):
+                return f"{v:.1f}" if v is not None else "NONE"
+            self._reply(f"SIGNAL {_f(node.signal_dbm)} "
+                        f"{_f(node.noise_floor_dbm)} {_f(node.snr_local)}")
         else:
             self._reply("OK")
 

@@ -78,10 +78,15 @@ class RxChain:
             # cheaper coarse search (CONFIG_0-4 thresholds: -10..-3.5 dB)
             deep_sync = (not geom.spec.is_mfsk) and geom.spec.config <= 4
         self.deep_sync = bool(deep_sync)
-        if ldpc_algo not in ("spa", "minsum"):
-            raise ValueError("ldpc_algo must be 'spa' or 'minsum'")
+        if ldpc_algo not in ("spa", "minsum", "layered", "layered-minsum"):
+            raise ValueError("ldpc_algo must be 'spa', 'minsum', 'layered' "
+                             "or 'layered-minsum'")
         # spa default: full BP sensitivity (the BER campaign numbers);
-        # minsum trades ~0.2-0.4 dB for a cheaper check update
+        # minsum trades ~0.2-0.4 dB for a cheaper check update; layered[-*]
+        # runs the same check update under the matmul-redistribution
+        # variable-disjoint layered schedule (fec/ldpc.py:decode_mm) — same
+        # sensitivity as the flooding SPA with ~2x fewer sweeps to converge
+        # at threshold SNR (docs/ldpc_layered_r3.md)
         self.ldpc_algo = ldpc_algo
         if dd is None:
             # auto: decision-directed re-estimation pays where channel
@@ -342,6 +347,21 @@ class RxChain:
         passband_to_baseband with decimation_rate=1)."""
         taps = self._fir_data if data_fir else self._fir_ts
         return ops.fir_same(self.mix(pb, freq_offset), taps)
+
+    def measure_signal_dbm(self, pb: jnp.ndarray) -> jnp.ndarray:
+        """Idle-channel signal strength in dBm re 1 mW, batched [B, n] ->
+        [B] (reference measure_signal_only, telecom_system.cc:1520-1541:
+        passband -> baseband through the time-sync FIR at full rate, then
+        mean complex power -> 10*log10(P/1mW), ofdm.cc:1523-1539). Used on
+        capture windows that decode nothing — the noise-floor / busy-channel
+        evidence the decoded-frame SNR cannot provide."""
+        if getattr(self, "_measure_jit", None) is None:
+            def _m(x):
+                bb = self.to_baseband(x, data_fir=False)
+                p = jnp.mean(jnp.real(bb) ** 2 + jnp.imag(bb) ** 2, axis=-1)
+                return 10.0 * jnp.log10(jnp.maximum(p, 1e-30) / 1e-3)
+            self._measure_jit = jax.jit(_m)
+        return self._measure_jit(pb)
 
     def extract_frame_decimated(self, iq: jnp.ndarray, delay: jnp.ndarray,
                                 n_symb: int) -> jnp.ndarray:
@@ -673,6 +693,15 @@ class RxChain:
         return llr, snr, jnp.ones(grid.shape[0], dtype=self.real_dtype)
 
     # ------------------------------------------------------------------
+    def _ldpc_decode(self, llr_n: jnp.ndarray, rate_num: int):
+        """Dispatch the configured BP variant: flooding (`decode`) for
+        spa/minsum, matmul-layered (`decode_mm`) for layered[-minsum]."""
+        if self.ldpc_algo in ("layered", "layered-minsum"):
+            check = "minsum" if self.ldpc_algo == "layered-minsum" else "spa"
+            return ldpc.decode_mm(llr_n, rate_num, algo=check)
+        return ldpc.decode(llr_n, rate_num, algo=self.ldpc_algo)
+
+    # ------------------------------------------------------------------
     def llr_to_payload(self, llr: jnp.ndarray):
         """Deinterleaved LLRs [B, nBits] -> LDPC decode -> CRC check
         (parity/virtual-bit shuffle per telecom_system.cc:1300-1308)."""
@@ -682,8 +711,7 @@ class RxChain:
             llr[..., : g.n_virtual],
             llr[..., g.n_real: g.n_real + g.ldpc_p],
         ], axis=-1).astype(jnp.float32)
-        bits, iters, conv = ldpc.decode(llr_n, g.spec.ldpc_rate_num,
-                                        algo=self.ldpc_algo)
+        bits, iters, conv = self._ldpc_decode(llr_n, g.spec.ldpc_rate_num)
         real_bits = jnp.bitwise_xor(bits[..., : g.n_real], self._dispersal[None])
         all_zeros = jnp.all(real_bits[..., : (g.n_real // 8) * 8] == 0, axis=-1)
         crc_bits = real_bits[..., : self._crc_nbits]
@@ -714,8 +742,7 @@ class RxChain:
                 llr_in[..., : g.n_virtual],
                 llr_in[..., g.n_real: g.n_real + g.ldpc_p],
             ], axis=-1).astype(jnp.float32)
-            return ldpc.decode(llr_n, g.spec.ldpc_rate_num,
-                               algo=self.ldpc_algo)
+            return self._ldpc_decode(llr_n, g.spec.ldpc_rate_num)
 
         bits, _iters, conv = bp(llr)
         if not self.dd:
@@ -1100,6 +1127,26 @@ class RxChain:
         """Jitted decode-at-known-delay (used by the link layer to decode the
         frames of a batch after syncing on the first one)."""
         return jax.jit(self.decode_at)
+
+    @functools.cached_property
+    def refine_decode_jit(self):
+        """Jitted per-frame re-sync + decode for the sibling frames of a
+        batch: each row's delay is refined with the known-preamble matched
+        filter within ±window samples of its nominal offset before
+        decoding, so a transport that pads, coalesces or drifts between
+        frames (the reference's window arithmetic tolerates this,
+        arq_common.cc:2690-2730) cannot break the fixed-slot assumption.
+        Returns (payload, crc_ok, iters, snr, mean_h, delay, score)."""
+        from mercury_tpu.modem import sync as sync_mod
+        templates = jnp.asarray(self._mf_templates)
+
+        def run(rows, coarse_delay, freq, window: int):
+            iq = self.mix(rows, freq)
+            d, score = sync_mod.matched_filter_refine(
+                iq, coarse_delay, templates, self.geom, window)
+            out = self.decode_at(rows, d - 8, freq)
+            return (*out, d, score)
+        return jax.jit(run, static_argnames=("window",))
 
     def receive(self, pb_buffer) -> RxResult:
         """Full RX: sync + CFO + decode. pb_buffer: [B, buffer_samples]."""

@@ -25,7 +25,8 @@ import pytest
 GOLDEN = pathlib.Path(__file__).resolve().parent / "golden"
 
 _DTYPES = {"int32": np.int32, "float64": np.float64,
-           "complex128": np.complex128, "float32": np.float32}
+           "complex128": np.complex128, "float32": np.float32,
+           "uint8": np.uint8}
 
 
 class GoldenStore:

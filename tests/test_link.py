@@ -357,3 +357,75 @@ def test_reverse_turboshift_after_switch_role():
     assert probed or b.current_configuration >= 8
     assert b.current_configuration > 4
     assert a.current_configuration == b.current_configuration
+
+
+def test_idle_channel_signal_measurement():
+    """Noise-only capture windows must produce a dBm measure and feed the
+    responder's noise-floor EMA (reference idle measurement,
+    arq_common.cc:1714-1736 / telecom_system.cc:1520-1541); a real frame on
+    top of that noise must read well above the floor."""
+    rsp = ArqNode("N0CALL", P.RESPONDER, ArqConfig(init_configuration=0))
+    g = rsp.geom
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    rng = np.random.default_rng(0)
+    sigma = 0.003
+    for i in range(4):
+        rsp.on_samples(sigma * rng.standard_normal(buf_len)
+                       .astype(np.float32), float(i))
+    assert rsp.signal_dbm is not None and rsp.noise_floor_dbm is not None
+    floor = rsp.noise_floor_dbm
+    # doubling the noise amplitude moves the measured window by ~6 dB
+    rsp.on_samples(2 * sigma * rng.standard_normal(buf_len)
+                   .astype(np.float32), 5.0)
+    assert rsp.signal_dbm == pytest.approx(floor + 6.0, abs=1.5)
+    # a transmitted frame in the window reads far above the noise floor
+    from mercury_tpu.modem.tx import TxChain
+    tx = TxChain(g)
+    payload = rng.integers(0, 256, (1, g.frame_bytes)).astype(np.uint8)
+    pb = np.asarray(tx.transmit(payload)).reshape(-1)
+    win = sigma * rng.standard_normal(buf_len).astype(np.float32)
+    win[1000:1000 + len(pb)] += pb.astype(np.float32)
+    rsp.on_samples(win, 6.0)
+    assert rsp.signal_dbm - floor > 15.0
+    # and the idle estimate seeds TEST_CONNECTION when no frame decoded yet
+    rsp.snr_local = None
+    m = rsp._make_test_connection()
+    import struct as _s
+    snr = _s.unpack("<f", m.data[1:5])[0]
+    assert snr > 10.0
+
+
+def test_receive_frames_tolerates_transport_jitter():
+    """Sibling frames of a batch shifted by up to +-200 samples from their
+    nominal frame_len slots must still decode (per-frame matched-filter
+    re-sync) — a transport that pads or coalesces blocks must not break the
+    fixed-slot decode (reference drift tolerance, arq_common.cc:2690-2730)."""
+    from mercury_tpu.modem.tx import TxChain
+    cfg = ArqConfig(init_configuration=1)
+    rsp = ArqNode("N0CALL", P.RESPONDER, cfg)
+    rsp.link_status = P.CONNECTED
+    g = rsp.geom
+    tx = TxChain(g)
+    rng = np.random.default_rng(3)
+    msgs = []
+    frames = []
+    for i in range(3):
+        chunk = bytes(rng.integers(0, 256, 10).astype(np.uint8))
+        m = P.Message(type=P.DATA_SHORT, id=i, sequence=7, length=len(chunk),
+                      data=chunk)
+        msgs.append(m)
+        payload = P.serialize(m, rsp.connection_id)
+        buf = np.zeros(g.frame_bytes, np.uint8)
+        buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        frames.append(np.asarray(tx.transmit_batch(buf[None])).reshape(-1))
+    frame_len = g.total_frame_size
+    jitter = [0, +180, -170]     # per-frame offset from the nominal slot
+    stream = np.zeros(3 * frame_len + 400, np.float32)
+    for k, f in enumerate(frames):
+        at = k * frame_len + (jitter[k] if k else 0)
+        stream[at: at + len(f)] += f.astype(np.float32)
+    assert rsp._receive_frames(stream[: 3 * frame_len], 0.0) in (True, False)
+    assert sorted(rsp._rx_msgs) == [0, 1, 2]
+    for i, m in enumerate(msgs):
+        got = rsp._rx_msgs[i]
+        assert got.data[: got.length] == m.data
