@@ -68,12 +68,29 @@ def worker(platform: str) -> None:
     dt = time.perf_counter() - t0
 
     sps = BATCH * buf_len * REPS / dt
+    # scaling prediction from the analytic communication account
+    # (scale/analysis.py; the compiled-collective audit in
+    # tests/test_scale.py proves channel-parallel RX contains ZERO
+    # collectives, so its 1-chip -> 2-host efficiency is 100% by
+    # construction; time-sharded RX moves one frame halo per shard block)
+    from mercury_tpu.scale import analysis
+    pred = analysis.predicted_efficiency(sps / 1e6, g)
     print(json.dumps({
         "metric": "rx_demod_ldpc_samples_per_sec_per_chip",
         "value": round(sps / 1e6, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_S, 2),
         "platform": platform,
+        "scaling": {
+            "channel_parallel_collective_bytes": 0,
+            "channel_parallel_2host_efficiency": 1.0,
+            "time_sharded_halo_bytes_per_block":
+                pred["time_sharded_rx"]["comm_bytes_per_block"],
+            "time_sharded_2host_eff_serialized_dcn":
+                pred["time_sharded_rx"]["efficiency_serialized"],
+            "time_sharded_2host_eff_overlapped_dcn":
+                pred["time_sharded_rx"]["efficiency_overlapped"],
+        },
     }))
 
 

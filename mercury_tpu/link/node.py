@@ -206,6 +206,7 @@ class ArqNode:
         # noise_floor_dbm = EMA over windows seen while LISTENING/IDLE
         self.signal_dbm: float | None = None
         self.noise_floor_dbm: float | None = None
+        self.processing_load: float | None = None  # proc_time/audio_time
 
         # --- turboshift probe state (reference: arq_commander.cc:1135-1167;
         # desync-safe variant — see _poll_turbo)
@@ -341,6 +342,20 @@ class ArqNode:
     def on_samples(self, samples: np.ndarray, now: float) -> None:
         """Deliver a received passband block; the node decodes according to
         its state."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        try:
+            self._on_samples(samples, now)
+        finally:
+            # processing-load ratio proc_time/audio_time (reference
+            # arq_common.cc:2667-2686, surfaced to the GUI via
+            # gui_state.h:118-119); >1 means the decoder cannot keep up
+            # with the real-time sample rate
+            audio_s = len(samples) / 48000.0
+            if audio_s > 0:
+                self.processing_load = (_time.perf_counter() - _t0) / audio_s
+
+    def _on_samples(self, samples: np.ndarray, now: float) -> None:
         self._last_now = now
         if self.link_status in (P.LISTENING, P.IDLE, P.DROPPED):
             # idle channel: this window is the noise floor (reference
@@ -368,11 +383,17 @@ class ArqNode:
             decoded_before = self.stats.received_data
             got_ctrl = self._receive_frames(samples, now)
             if (self.cfg.wire_compat and self.role == P.RESPONDER
-                    and self.stats.received_data > decoded_before):
+                    and self.stats.received_data > decoded_before
+                    and self._rx_window_all_decoded):
                 # stock flow: the responder pattern-acks a received data
                 # batch on its own (arq_responder.cc:429-485) — BLOCK_END
                 # arrives later as a separate control, so the batch itself
-                # carries nothing to trigger the ack
+                # carries nothing to trigger the ack. Only a FULLY decoded
+                # window is acked: the stock pattern ack carries no ids, so
+                # acking a partial batch makes the commander mark every
+                # frame delivered and silently lose the missing ones
+                # (genuine stock data-loss flaw); staying silent instead
+                # routes recovery through the resend machinery
                 self._queue_pattern_ack(now)
             if (self.role == P.RESPONDER
                     and self.stats.received_data == decoded_before
@@ -414,6 +435,7 @@ class ArqNode:
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
         frame_len = g.total_frame_size
         n_frames = int(round(len(samples) / frame_len))
+        self._rx_window_all_decoded = False
         if n_frames < 1:
             return False
 
@@ -432,6 +454,7 @@ class ArqNode:
         t0 = int(np.asarray(res0.delay)[0]) + 8   # undo the early-sampling bias
         self.snr_local = float(np.asarray(res0.snr_db)[0])
         if n_frames == 1:
+            self._rx_window_all_decoded = True
             self._on_frame(bytes(np.asarray(res0.payload)[0]), now)
             return True
 
@@ -457,6 +480,7 @@ class ArqNode:
             margin)
         ok = np.asarray(crc_ok)
         pl = np.asarray(payloads)
+        self._rx_window_all_decoded = bool(ok.all())
         for k in range(n_frames):
             if ok[k]:
                 self._on_frame(bytes(pl[k]), now)

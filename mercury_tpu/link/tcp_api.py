@@ -169,6 +169,66 @@ class ArqTcpServer:
             self._reply("OK")   # fixed 2343.75 Hz numerology (reference parity)
         elif command == "BUFFER TX":
             self._reply(f"BUFFER {len(node.fifo_tx)}")
+        elif command == "STATUS":
+            # processing-load and buffer fill reported upward, like the
+            # reference's gui_state feeds (gui_state.h:118-119)
+            load = (f"{node.processing_load:.2f}"
+                    if node.processing_load is not None else "NONE")
+            self._reply(
+                f"STATUS link={node.link_status} "
+                f"cfg={node.current_configuration} "
+                f"buftx={len(node.fifo_tx)} bufrx={len(node.fifo_rx)} "
+                f"load={load} "
+                f"snr={node.snr_local if node.snr_local is not None else 'NONE'} "
+                f"dbm={node.signal_dbm if node.signal_dbm is not None else 'NONE'}")
+        elif command.startswith("LDPCITER "):
+            # runtime LDPC-iteration cap (reference GUI slider / -I flag);
+            # triggers a receive-chain recompile like the reference's
+            # subsystem reinit
+            try:
+                n = int(command[9:].strip())
+                assert 1 <= n <= 200
+            except (ValueError, AssertionError):
+                self._reply("WRONG")
+            else:
+                node._rx.set_ldpc_max_iter(n)
+                self._reply("OK")
+        elif command.startswith("TXGAIN ") or command.startswith("RXGAIN "):
+            # runtime audio gain (reference GUI sliders -> audioio gains,
+            # audioio.c:423/738); acts on the attached transport
+            try:
+                db = float(command[7:].strip())
+            except ValueError:
+                self._reply("WRONG")
+            else:
+                attr = "tx_gain" if command.startswith("TX") else "rx_gain"
+                if self.transport is not None and hasattr(self.transport, attr):
+                    setattr(self.transport, attr, 10 ** (db / 20.0))
+                    self._reply("OK")
+                else:
+                    self._reply("WRONG")
+        elif command in ("GEARSHIFT ON", "GEARSHIFT OFF"):
+            import dataclasses as _dc
+            node.cfg = _dc.replace(node.cfg,
+                                   gear_shift_on=command.endswith("ON"))
+            self._reply("OK")
+        elif command.startswith("SETCONFIG "):
+            # operator-forced config change: negotiated via SET_CONFIG on a
+            # connected commander (reference setup dialog's mode change)
+            try:
+                c = int(command[10:].strip())
+            except ValueError:
+                self._reply("WRONG")
+            else:
+                if (node.role == P.COMMANDER
+                        and node.link_status == P.CONNECTED):
+                    node._gear_request = c
+                    self._reply("OK")
+                elif node.link_status in (P.IDLE, P.LISTENING):
+                    node._set_config(c)
+                    self._reply("OK")
+                else:
+                    self._reply("WRONG")
         elif command == "SIGNAL":
             # idle-channel measurement readout (reference surfaces
             # signal_stregth_dbm to its GUI/API, arq_common.cc:1714-1736):

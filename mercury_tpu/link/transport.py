@@ -30,9 +30,13 @@ class PairTransport:
 class _PairEnd:
     def __init__(self, tx_q, rx_q, channel):
         self._tx_q, self._rx_q, self._channel = tx_q, rx_q, channel
+        # runtime-settable linear gains (reference audioio TX/RX gain,
+        # audioio.c:423/738; set via the TCP API TXGAIN/RXGAIN commands)
+        self.tx_gain = 1.0
+        self.rx_gain = 1.0
 
     def transmit(self, samples: np.ndarray) -> None:
-        out = np.asarray(samples, dtype=np.float32)
+        out = np.asarray(samples, dtype=np.float32) * self.tx_gain
         if self._channel is not None:
             out = self._channel.apply(out)
         self._tx_q.put(out)
@@ -46,7 +50,7 @@ class _PairEnd:
             pass
         if not blocks:
             return None
-        return np.concatenate(blocks)
+        return np.concatenate(blocks) * self.rx_gain
 
 
 class UdpTransport:

@@ -696,10 +696,22 @@ class RxChain:
     def _ldpc_decode(self, llr_n: jnp.ndarray, rate_num: int):
         """Dispatch the configured BP variant: flooding (`decode`) for
         spa/minsum, matmul-layered (`decode_mm`) for layered[-minsum]."""
+        mi = getattr(self, "ldpc_max_iter", 50)
         if self.ldpc_algo in ("layered", "layered-minsum"):
             check = "minsum" if self.ldpc_algo == "layered-minsum" else "spa"
-            return ldpc.decode_mm(llr_n, rate_num, algo=check)
-        return ldpc.decode(llr_n, rate_num, algo=self.ldpc_algo)
+            return ldpc.decode_mm(llr_n, rate_num, algo=check, max_iter=mi)
+        return ldpc.decode(llr_n, rate_num, algo=self.ldpc_algo, max_iter=mi)
+
+    def set_ldpc_max_iter(self, n: int) -> None:
+        """Runtime LDPC-iteration change (the reference GUI's slider,
+        gui_main.cc:452-1124 / -I flag, main.cc:303-310). The decode cap is
+        baked into the compiled programs, so the cached jits are dropped and
+        the next receive recompiles — the analogue of the reference's
+        reinit_subsystems partial rebuild (telecom_system.cc:2656-2713)."""
+        self.ldpc_max_iter = int(n)
+        for prop in ("receive_fn", "_receive_jit", "decode_at_jit",
+                     "refine_decode_jit"):
+            self.__dict__.pop(prop, None)
 
     # ------------------------------------------------------------------
     def llr_to_payload(self, llr: jnp.ndarray):

