@@ -76,6 +76,10 @@ def main(argv=None) -> int:
                     "time span, e.g. 5,9, to track fading inside a frame")
     ap.add_argument("--dd-passes", type=int, default=1,
                     help="DD re-estimation iterations (default 1)")
+    ap.add_argument("--wire-compat", action="store_true", default=None,
+                    help="ARQ/SIM: emit stock-Mercury framing for stock "
+                    "peers (INI key [ARQ] WireCompat); the receive side "
+                    "accepts both framings either way")
     ap.add_argument("-r", "--radio", default=None,
                     choices=["stockhf", "sbitx"],
                     help="radio type (reference main.cc:200-218): sbitx "
@@ -90,7 +94,10 @@ def main(argv=None) -> int:
         return {None: None, "auto": None, "on": True, "off": False}[a.deep_sync]
 
     def _rx_kwargs(a):
-        kw = {"ldpc_algo": a.ldpc_algo, "deep_sync": _deep(a)}
+        # ini is bound later in this scope, before any mode handler calls us
+        kw = {"ldpc_algo": a.ldpc_algo, "deep_sync": _deep(a),
+              "ldpc_max_iter": ini.ldpc_iterations_max,
+              "cfo_range": "wide" if ini.coarse_freq_sync else "narrow"}
         kw["dd"] = {None: None, "auto": None, "on": True,
                     "off": False}[a.dd]
         if a.dd_window is not None:
@@ -128,6 +135,8 @@ def main(argv=None) -> int:
         ini.rx_profile = args.rx_profile
     if args.radio is not None:
         ini.radio_type = args.radio
+    if args.wire_compat is not None:
+        ini.wire_compat = args.wire_compat
     # radio-type carrier shift (reference main.cc:200-218): +15 kHz for sBitx
     carrier_off = 15000.0 if ini.radio_type == "sbitx" else 0.0
 
@@ -212,6 +221,7 @@ def main(argv=None) -> int:
                         gear_shift_on=bool(args.gearshift),
                         robust_enabled=bool(args.robust),
                         turboshift=bool(args.turbo),
+                        wire_compat=bool(ini.wire_compat),
                         rx_profile=args.rx_profile or ini.rx_profile)
         cmd = ArqNode("VE3TPU", P.COMMANDER, cfg)
         rsp = ArqNode("N0CALL", P.RESPONDER, cfg)

@@ -40,6 +40,7 @@ class Settings:
     initial_config: int = 0
     robust_mode: bool = True
     turboshift: bool = False
+    wire_compat: bool = False          # stock-Mercury framing (stock peers)
     link_timeout_ms: int = 30000
     max_connection_attempts: int = 10
     batch_size: int = 5
@@ -64,6 +65,7 @@ class Settings:
                     "ExitOnDisconnect": "exit_on_disconnect"},
         "ARQ": {"GearShift": "gear_shift", "InitialConfig": "initial_config",
                 "RobustMode": "robust_mode", "Turboshift": "turboshift",
+                "WireCompat": "wire_compat",
                 "LinkTimeout": "link_timeout_ms",
                 "MaxConnectionAttempts": "max_connection_attempts",
                 "BatchSize": "batch_size"},
@@ -128,4 +130,8 @@ class Settings:
                          link_timeout_ms=self.link_timeout_ms,
                          ptt_on_delay_ms=self.ptt_on_delay_ms,
                          ptt_off_delay_ms=self.ptt_off_delay_ms,
-                         rx_profile=self.rx_profile)
+                         rx_profile=self.rx_profile,
+                         wire_compat=self.wire_compat,
+                         ldpc_max_iter=self.ldpc_iterations_max,
+                         carrier_offset_hz=(15000.0 if self.radio_type
+                                            == "sbitx" else 0.0))

@@ -75,6 +75,7 @@ class ArqConfig:
                                   # (decision-directed, docs/fading_r2.md)
     carrier_offset_hz: float = 0.0  # radio-type passband shift: 15000.0 for
                                     # sBitx (reference main.cc:200-218)
+    ldpc_max_iter: int = 50         # BP iteration cap (INI LDPCIterationsMax)
     # stock-Mercury wire compatibility: emit exactly the reference's framing
     # (tests/test_link_interop.py proves byte-identity against frames dumped
     # from the reference's own serializer). Differences vs the repo's native
@@ -116,17 +117,18 @@ class _PhyCache:
 
     @classmethod
     def get(cls, cfg: int, profile: str = "static",
-            carrier_offset_hz: float = 0.0):
-        key = (cfg, profile, carrier_offset_hz)
+            carrier_offset_hz: float = 0.0, ldpc_max_iter: int = 50):
+        key = (cfg, profile, carrier_offset_hz, ldpc_max_iter)
         if key not in cls._cache:
             off = carrier_offset_hz
             if profile == "track" and not build_geometry(cfg).spec.is_mfsk:
                 g = build_geometry(cfg, ls_window=(5, 21),
                                    carrier_offset_hz=off)
-                rx = RxChain(g, dd=True, dd_window=(5, 9), dd_passes=2)
+                rx = RxChain(g, dd=True, dd_window=(5, 9), dd_passes=2,
+                             ldpc_max_iter=ldpc_max_iter)
             else:
                 g = build_geometry(cfg, carrier_offset_hz=off)
-                rx = RxChain(g)
+                rx = RxChain(g, ldpc_max_iter=ldpc_max_iter)
             cls._cache[key] = (g, TxChain(g), rx, PatternSignaler(g))
         return cls._cache[key]
 
@@ -163,7 +165,8 @@ class ArqNode:
         (self._ack_geom, self._ack_tx, self._ack_rx,
          _unused) = _PhyCache.get(self.cfg.ack_configuration,
                                   self.cfg.rx_profile,
-                                  self.cfg.carrier_offset_hz)
+                                  self.cfg.carrier_offset_hz,
+                                  self.cfg.ldpc_max_iter)
         self._ack_buf_len = (self._ack_geom.nofdm * self._ack_geom.buffer_nsymb
                              * self._ack_geom.interp)
         self._ack_max_data = self._ack_geom.frame_bytes - P.MAX_HEADER_LEN
@@ -255,7 +258,8 @@ class ArqNode:
             self._rx_msgs.clear()   # partial frames of the old config are void
         self.current_configuration = config
         g, tx, rx, pat = _PhyCache.get(config, self.cfg.rx_profile,
-                                       self.cfg.carrier_offset_hz)
+                                       self.cfg.carrier_offset_hz,
+                                       self.cfg.ldpc_max_iter)
         self.geom, self._tx, self._rx, self._pat = g, tx, rx, pat
         self.max_data_length = g.frame_bytes - P.MAX_HEADER_LEN
         self.frame_ms = 1000.0 * g.total_frame_size / g.fs

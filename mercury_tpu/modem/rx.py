@@ -62,9 +62,12 @@ class RxChain:
                  deep_sync: bool | None = None, ldpc_algo: str = "spa",
                  dd: bool | None = None,
                  dd_window: tuple[int, int] | None = None,
-                 dd_passes: int = 1):
+                 dd_passes: int = 1, ldpc_max_iter: int = 50):
         self.geom = geom
         self.real_dtype = real_dtype
+        # LDPC iteration cap (reference default 50, -I flag / INI
+        # LDPCIterationsMax); runtime changes via set_ldpc_max_iter
+        self.ldpc_max_iter = int(ldpc_max_iter)
         if ctrl and not (geom.spec.is_mfsk and geom.spec.ctrl_nbits > 0):
             raise ValueError("ctrl frames exist only for ROBUST_0/ROBUST_1")
         if cfo_range not in ("wide", "narrow"):

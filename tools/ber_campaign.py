@@ -91,7 +91,7 @@ def find_waterfall(run_fn, start: float, step: float, n_scan: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="docs/ber_r2.json")
+    ap.add_argument("--out", default="docs/ber_r3.json")
     ap.add_argument("--harness", default="all",
                     choices=["all", "bb", "pb", "mfsk"])
     ap.add_argument("--configs", type=int, nargs="*", default=None)
@@ -143,8 +143,12 @@ def main() -> int:
             for c in OFDM_CFGS:
                 jobs.append((c, dname, d, "baseband"))
     if args.harness in ("all", "pb"):
-        for c in OFDM_CFGS:
-            jobs.append((c, "high", HIGH_DENSITY, "passband"))
+        # both densities are first-class operating modes
+        # (telecom_system.cc:1818-1876) — run the full passband chain
+        # (sync + CFO + estimation) for each
+        for dname, d in densities:
+            for c in OFDM_CFGS:
+                jobs.append((c, dname, d, "passband"))
     if args.harness in ("all", "mfsk"):
         for c in MFSK_CFGS:
             jobs.append((c, "high", HIGH_DENSITY, "mfsk"))
