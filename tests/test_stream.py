@@ -60,3 +60,37 @@ def test_transmit_batch_overlap_filtering():
         assert (np.asarray(res.payload)[0] == payloads[k]).all()
     with pytest.raises(ValueError):
         tx.transmit_batch(np.zeros((2, 3), np.uint8))
+
+def test_stream_pool_batched_serving():
+    """StreamPool multiplexes independent channels into batched dispatches:
+    every channel's frame decodes, payloads match per channel, and the
+    whole pool used far fewer receive dispatches than channels."""
+    import jax
+    from mercury_tpu.scale.serve import StreamPool
+
+    jax.clear_caches()
+    g = build_geometry(16)           # smallest frame -> fast CPU test
+    tx = TxChain(g)
+    n_ch = 6
+    pool = StreamPool(g, n_ch)
+    rng = np.random.default_rng(2)
+    payloads = rng.integers(0, 256, (n_ch, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payloads))
+    buf_len = pool.buf_len
+    got: dict[int, bytes] = {}
+    for c in range(n_ch):
+        # noise lead-in of channel-dependent length, then the frame
+        lead = 3000 + 257 * c
+        stream = (2e-3 * rng.standard_normal(lead + buf_len)
+                  ).astype(np.float32)
+        stream[lead: lead + frames.shape[1]] += frames[c]
+        pool.feed(c, stream)
+    for _ in range(40):
+        for c, res in pool.step():
+            got.setdefault(c, bytes(np.asarray(res.payload)[0]))
+        if len(got) == n_ch:
+            break
+    assert sorted(got) == list(range(n_ch))
+    for c in range(n_ch):
+        assert got[c] == bytes(payloads[c])
+    assert pool.batched_dispatches < n_ch   # genuinely batched
