@@ -44,3 +44,15 @@ def test_dashboard_frame_composes():
                   constellation=np.array([0.7 + 0.7j, -0.7 - 0.7j]))
     assert "cfg=  9" in out and "CONNECTED" in out and "PTT" in out
     assert "waterfall" in out and "constellation" in out
+
+
+def test_frame_renders_signal_dbm():
+    d = Dashboard(width=64, color=False)
+    out = d.frame({"config": 9, "link_status": "DECODED", "snr_db": 12.0,
+                   "cfo_hz": 1.0, "signal_dbm": -37.2,
+                   "noise_floor_dbm": -58.9})
+    assert "SIG" in out and "-37.2 dBm" in out
+    assert "noise floor" in out and "S/N +21.7 dB" in out
+    # no noise floor yet: renders placeholder, no crash
+    out2 = d.frame({"signal_dbm": -40.0})
+    assert "--" in out2
