@@ -351,6 +351,90 @@ def peak_clip(x: jnp.ndarray, papr_db: float) -> jnp.ndarray:
     return jnp.clip(x, -peak, peak)
 
 
+_dft_mat_cache: dict = {}
+
+
+def _fft_mm_mats(n1: int, n2: int, inverse: bool, mm_dtype) -> tuple:
+    """Host-precomputed DFT factor matrices for the Cooley-Tukey matmul FFT:
+    (W1 [n1,n1], twiddle [n2,n1], W2 [n2,n2]) as (re, im) float pairs."""
+    key = (n1, n2, bool(inverse), np.dtype(mm_dtype).name)
+    mats = _dft_mat_cache.get(key)
+    if mats is None:
+        n = n1 * n2
+        sgn = -1.0 if not inverse else 1.0
+        w1 = np.exp(sgn * 2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+        tw = np.exp(sgn * 2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
+        w2 = np.exp(sgn * 2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+        if inverse:
+            w2 = w2 / n
+        mats = tuple(np.ascontiguousarray(p).astype(mm_dtype)
+                     for m in (w1, tw, w2) for p in (m.real, m.imag))
+        _dft_mat_cache[key] = mats
+    return mats
+
+
+def _fft_mm_factor(n: int) -> tuple[int, int]:
+    """Pick n = n1*n2 with both factors as close to 128 as possible (MXU
+    tile size). Requires n to be a multiple of reasonable powers of two."""
+    best = None
+    for n1 in range(1, n + 1):
+        if n % n1:
+            continue
+        n2 = n // n1
+        cost = abs(n1 - 128) + abs(n2 - 128)
+        if best is None or cost < best[0]:
+            best = (cost, n1, n2)
+    return best[1], best[2]
+
+
+def fft_mm(x: jnp.ndarray, n: int | None = None, inverse: bool = False,
+           mm_dtype=jnp.float32) -> jnp.ndarray:
+    """Batched 1-D (i)FFT along the last axis as two MXU matmul passes.
+
+    Cooley-Tukey split n = n1*n2: with x[n1_idx*n2 + n2_idx],
+      X[k1 + n1*k2] = sum_{n2_idx} W_n^{±n2_idx k1} W_{n2}^{±n2_idx k2}
+                      (sum_{n1_idx} x[n1_idx*n2 + n2_idx] W_{n1}^{±n1_idx k1})
+    i.e. a [*, n2, n1] @ [n1, n1] matmul, a twiddle product, and a
+    [*, n1, n2] @ [n2, n2] matmul. ~30x the flops of radix-2, but the MXU
+    executes them orders of magnitude faster than XLA's generic TPU FFT
+    lowering, which bounds the deep-sync whole-buffer matched filter
+    (A/B in docs/throughput_r3.json deep rows). Numerically: f32 matmuls
+    keep |err| ~1e-6 relative on CPU (TPU default matmul precision is
+    bf16-multiply/f32-accumulate — fine where scores only arbitrate);
+    mm_dtype=bfloat16 halves the matmul cost where that is acceptable.
+
+    Matches jnp.fft.fft(x, n)/jnp.fft.ifft(x, n) up to dtype rounding.
+    """
+    if n is None:
+        n = x.shape[-1]
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    elif x.shape[-1] > n:
+        x = x[..., :n]
+    n1, n2 = _fft_mm_factor(n)
+    w1r, w1i, twr, twi, w2r, w2i = (
+        jnp.asarray(m) for m in _fft_mm_mats(n1, n2, inverse, np.float32))
+    if mm_dtype is not None:
+        w1r, w1i, twr, twi, w2r, w2i = (
+            m.astype(mm_dtype) for m in (w1r, w1i, twr, twi, w2r, w2i))
+    batch = x.shape[:-1]
+    xr = jnp.real(x).astype(mm_dtype).reshape(*batch, n1, n2)
+    xi = jnp.imag(x).astype(mm_dtype).reshape(*batch, n1, n2)
+    xr = jnp.swapaxes(xr, -1, -2)            # [.., n2, n1]
+    xi = jnp.swapaxes(xi, -1, -2)
+    ar = (xr @ w1r - xi @ w1i) * twr - (xr @ w1i + xi @ w1r) * twi
+    ai = (xr @ w1r - xi @ w1i) * twi + (xr @ w1i + xi @ w1r) * twr
+    ar = jnp.swapaxes(ar, -1, -2)            # [.., k1, n2]
+    ai = jnp.swapaxes(ai, -1, -2)
+    cr = (ar @ w2r - ai @ w2i).astype(jnp.float32)
+    ci = (ar @ w2i + ai @ w2r).astype(jnp.float32)
+    # X[k1 + n1*k2] <- C[k1, k2]: transpose to [k2, k1] before flattening
+    cr = jnp.swapaxes(cr, -1, -2).reshape(*batch, n)
+    ci = jnp.swapaxes(ci, -1, -2).reshape(*batch, n)
+    return jax.lax.complex(cr, ci)
+
+
 def ofdm_mod(carriers: jnp.ndarray, pad_map, nfft: int, ngi: int) -> jnp.ndarray:
     """OFDM symbol modulation, batched over [..., S, Nc] -> [..., S, Nofdm].
 

@@ -166,6 +166,7 @@ def matched_filter_refine_seg(seg: jnp.ndarray, start: jnp.ndarray,
 def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
                                bank: np.ndarray, window: int,
                                use_mm: bool | None = None,
+                               use_fft_mm: bool | None = None,
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter refinement against a bank of A template variants
     (e.g. CFO-alias rotations, host-precomputed) in one pass.
@@ -210,11 +211,27 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         nfft2 = 1
         while nfft2 < seg_len:
             nfft2 *= 2
-        xf = jnp.fft.fft(seg, n=nfft2, axis=-1)
         tfc = np.conj(np.fft.fft(bank, n=nfft2, axis=-1))
-        corr = jnp.fft.ifft(xf[:, None, None, :]
-                            * jnp.asarray(tfc, dtype=xf.dtype)[None],
-                            axis=-1)                           # [B, A, Lp, n2]
+        if use_fft_mm is None:
+            use_fft_mm = (jax.default_backend() != "cpu"
+                          and seg.dtype != jnp.complex128)
+        if use_fft_mm:
+            # XLA's generic FFT lowering on TPU runs ~100 GFLOP/s
+            # effective; the MXU Cooley-Tukey matmul FFT (ops.fft_mm)
+            # spends ~30x the flops but executes on the systolic array —
+            # this is the deep-sync whole-buffer correlation's dominant
+            # cost (A/B on the chip: docs/throughput_r3.json deep rows)
+            from mercury_tpu.dsp import ops as _ops
+            xf = _ops.fft_mm(seg, n=nfft2)
+            corr = _ops.fft_mm(
+                xf[:, None, None, :]
+                * jnp.asarray(tfc, dtype=xf.dtype)[None],
+                n=nfft2, inverse=True)                         # [B, A, Lp, n2]
+        else:
+            xf = jnp.fft.fft(seg, n=nfft2, axis=-1)
+            corr = jnp.fft.ifft(xf[:, None, None, :]
+                                * jnp.asarray(tfc, dtype=xf.dtype)[None],
+                                axis=-1)                       # [B, A, Lp, n2]
 
         def corr_abs(l):
             return jnp.abs(corr[:, :, l, l * s: l * s + n_cand])

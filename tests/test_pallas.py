@@ -121,6 +121,66 @@ def test_fir_decimate_mix_mm_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n,inverse", [(16384, False), (16384, True),
+                                       (8192, False), (256, True),
+                                       (1088, False)])
+def test_fft_mm_matches_fft(n, inverse):
+    """MXU Cooley-Tukey matmul FFT == jnp.fft, both directions, including
+    zero-padding of short inputs and non-2^k-by-128 factorizations."""
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal((3, n - 7))
+         + 1j * rng.standard_normal((3, n - 7))).astype(np.complex64)
+    got = np.asarray(ops.fft_mm(jnp.asarray(x), n=n, inverse=inverse))
+    ref = np.fft.ifft(x, n=n) if inverse else np.fft.fft(x, n=n)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref.astype(np.complex64),
+                               atol=2e-5 * max(scale, 1e-9), rtol=0)
+
+
+def test_fft_mm_roundtrip_correlation():
+    """FFT-correlation computed with fft_mm == computed with jnp.fft — the
+    deep-sync global matched filter substitutes one for the other on TPU."""
+    rng = np.random.default_rng(9)
+    n, s = 2048, 136
+    seg = (rng.standard_normal((4, n))
+           + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    tmpl = (rng.standard_normal(s) + 1j * rng.standard_normal(s))
+    tfc = np.conj(np.fft.fft(tmpl, n=n)).astype(np.complex64)
+    ref = np.fft.ifft(np.fft.fft(seg, axis=-1) * tfc, axis=-1)
+    xf = ops.fft_mm(jnp.asarray(seg))
+    got = np.asarray(ops.fft_mm(xf * jnp.asarray(tfc), inverse=True))
+    np.testing.assert_allclose(got, ref.astype(np.complex64),
+                               atol=3e-4 * np.max(np.abs(ref)))
+
+
+def test_matched_filter_bank_fft_mm_parity():
+    """The TPU deep-sync branch (FFT correlation computed via ops.fft_mm)
+    == the jnp.fft branch: same refined delays, near-identical scores.
+    Forced on CPU via use_fft_mm so the TPU-only default is test-covered."""
+    from mercury_tpu.modem import sync
+
+    rng = np.random.default_rng(12)
+    lp, s = 4, 136
+    bank = (rng.standard_normal((5, lp, s))
+            + 1j * rng.standard_normal((5, lp, s))).astype(np.complex64)
+    window = 600
+    seg_len = 2 * window + lp * s
+    seg = (rng.standard_normal((6, seg_len))
+           + 1j * rng.standard_normal((6, seg_len))).astype(np.complex64)
+    tmpl_cat = bank[2].reshape(-1)
+    seg[1, 317: 317 + lp * s] += 4.0 * tmpl_cat
+    seg_j = jnp.asarray(seg)
+    start = jnp.zeros(6, jnp.int32)
+    d_fft, s_fft = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_fft_mm=False)
+    d_mm, s_mm = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_fft_mm=True)
+    np.testing.assert_array_equal(np.asarray(d_fft), np.asarray(d_mm))
+    np.testing.assert_allclose(np.asarray(s_fft), np.asarray(s_mm),
+                               rtol=5e-4, atol=5e-4)
+    assert int(np.asarray(d_mm)[1, 2]) == 317
+
+
 def test_matched_filter_bank_mm_parity():
     """MXU banded-matmul MF correlation == FFT correlation: same refined
     delays and near-identical scores for an alias-rotated template bank."""
