@@ -419,16 +419,28 @@ def fft_mm(x: jnp.ndarray, n: int | None = None, inverse: bool = False,
         w1r, w1i, twr, twi, w2r, w2i = (
             m.astype(mm_dtype) for m in (w1r, w1i, twr, twi, w2r, w2i))
     batch = x.shape[:-1]
+
+    def cmm3(pr, pi, qr, qi):
+        # Karatsuba 3-matmul complex multiply (25% fewer MXU flops than
+        # the 4-matmul form): re = k1-k2, im = k1+k3 with
+        # k1 = pr(qr+qi), k2 = (pi+pr)qi, k3 = (pi-pr)qr
+        k1 = pr @ (qr + qi)
+        k2 = (pi + pr) @ qi
+        k3 = (pi - pr) @ qr
+        return k1 - k2, k1 + k3
+
     xr = jnp.real(x).astype(mm_dtype).reshape(*batch, n1, n2)
     xi = jnp.imag(x).astype(mm_dtype).reshape(*batch, n1, n2)
     xr = jnp.swapaxes(xr, -1, -2)            # [.., n2, n1]
     xi = jnp.swapaxes(xi, -1, -2)
-    ar = (xr @ w1r - xi @ w1i) * twr - (xr @ w1i + xi @ w1r) * twi
-    ai = (xr @ w1r - xi @ w1i) * twi + (xr @ w1i + xi @ w1r) * twr
+    mr, mi = cmm3(xr, xi, w1r, w1i)
+    ar = mr * twr - mi * twi
+    ai = mr * twi + mi * twr
     ar = jnp.swapaxes(ar, -1, -2)            # [.., k1, n2]
     ai = jnp.swapaxes(ai, -1, -2)
-    cr = (ar @ w2r - ai @ w2i).astype(jnp.float32)
-    ci = (ar @ w2i + ai @ w2r).astype(jnp.float32)
+    cr, ci = cmm3(ar, ai, w2r, w2i)
+    cr = cr.astype(jnp.float32)
+    ci = ci.astype(jnp.float32)
     # X[k1 + n1*k2] <- C[k1, k2]: transpose to [k2, k1] before flattening
     cr = jnp.swapaxes(cr, -1, -2).reshape(*batch, n)
     ci = jnp.swapaxes(ci, -1, -2).reshape(*batch, n)

@@ -195,6 +195,54 @@ def main() -> int:
            30 * n_edges * BATCH,       # tanh/atanh-dominated, rough count
            3 * 4 * n_edges * BATCH, f"edges={n_edges}")
 
+    # --- deep-sync global matched filter (CONFIG_0 acquisition), A/B:
+    # jnp.fft (XLA generic FFT lowering) vs ops.fft_mm (MXU Cooley-Tukey
+    # matmuls). This stage dominates the CONFIG_0-4 deep-sync RX programs.
+    from mercury_tpu.modem import sync as sync_mod
+    from mercury_tpu.modem.rx import RxChain
+
+    g0 = build_geometry(0)
+    rx0 = RxChain(g0, deep_sync=True)
+    lp, s_tmpl = rx0._mf_templates.shape
+    ts_dec = g0.interp
+    mf_d = 2 * ts_dec if s_tmpl % (2 * ts_dec) == 0 else ts_dec
+    mf_s = mf_d // ts_dec
+    s_d = s_tmpl // mf_d
+    tmpl_d = np.ascontiguousarray(rx0._mf_templates[:, ::mf_d])
+    grid_h = int(round(120.0 / 15.0))            # cfo_range="wide" profile
+    grid_f = np.arange(-grid_h, grid_h + 1) * 15.0
+    t_tmpl = np.arange(tmpl_d.shape[-1], dtype=np.float64) * mf_d
+    bank_g = np.stack([
+        tmpl_d * np.exp(-1j * (2 * np.pi / g0.fs) * f * t_tmpl)[None]
+        for f in grid_f]).astype(np.complex64)
+    a_rows = bank_g.shape[0]
+    buf0_len = g0.nofdm * g0.buffer_nsymb * g0.interp
+    n_gd = (buf0_len // ts_dec) // mf_s
+    win_g = (n_gd - lp * s_d) // 2
+    seg_len_g = 2 * win_g + lp * s_d
+    nfft2 = 1
+    while nfft2 < seg_len_g:
+        nfft2 *= 2
+    segg2 = jnp.asarray(rng.standard_normal(
+        (2, BATCH, seg_len_g)).astype(np.float32))
+    zeros_b = jnp.zeros(BATCH, jnp.int32)
+    n_tr = BATCH * (1 + a_rows * lp)             # fwd + per-bank inverse
+    for use_fm, name in ((False, "deep MF corr (jnp.fft)"),
+                         (True, "deep MF corr (fft_mm MXU)")):
+        def mf(x2, _u=use_fm):
+            seg = x2[0] + 1j * x2[1]
+            _d, s = sync_mod.matched_filter_refine_bank(
+                seg, zeros_b, bank_g, win_g, use_mm=False, use_fft_mm=_u)
+            return s
+        if use_fm:            # 2 matmul passes x 3 Karatsuba real matmuls
+            flops = n_tr * 2 * 3 * 2 * nfft2 * 128
+        else:                 # radix-2 butterfly count
+            flops = n_tr * 5 * nfft2 * np.log2(nfft2)
+        t, t1 = timed_k(mf, segg2, reps=3)
+        record(name, t, t1, flops,
+               8 * BATCH * (1 + 2 * a_rows * lp) * nfft2,
+               f"A={a_rows} Lp={lp} nfft={nfft2}")
+
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "roofline_r3.json")
     with open(path, "w") as f:
