@@ -148,3 +148,172 @@ def mix_fir_decimate(pb: jnp.ndarray, taps, fs: float, fc: float,
     taps_t = tuple(float(t) for t in np.asarray(taps))
     return _mix_fir_decimate_impl(pb, taps_t, float(fs), float(fc),
                                   float(amp), int(stride), bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused deep-sync matched-filter scoring.
+#
+# The deep-sync global acquisition correlates the known preamble against the
+# ENTIRE decimated capture over a CFO-hypothesis bank (rx.py deep_sync).
+# The XLA FFT-correlation formulation materializes the [B, A, Lp, nfft]
+# correlation tensor (2.3 GB at CONFIG_0 wide-profile shapes) plus every
+# scoring intermediate in HBM: measured 51.6 ms/apply on the chip, and
+# swapping jnp.fft for the MXU matmul FFT only reached 47.3 ms — the stage
+# is FUSION-bound, not transform-bound (docs/roofline_r3.json).
+#
+# This kernel keeps the whole pipeline in VMEM per (row-block, hypothesis):
+#   product with the template spectrum -> inverse DFT as two MXU dot_general
+#   stages (Cooley-Tukey nfft = n1*n2) -> |corr| -> energy-normalized
+#   score accumulation over the Lp preamble symbols.
+# HBM traffic: read the forward spectra + template bank, write the score —
+# ~0.5 GB instead of ~15 GB.  Scoring math mirrors
+# sync.matched_filter_refine_bank exactly (template norms pre-divided into
+# the bank spectra; same silence-floor guard).
+# ---------------------------------------------------------------------------
+
+_MF_ROWS = 8
+
+
+def _deep_mf_kernel(xfr_ref, xfi_ref, bkr_ref, bki_ref, ce_ref, ef_ref,
+                    w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+                    out_ref, *, lp: int, s: int, n1: int, n2: int,
+                    nc_pad: int, mm_dtype):
+    rows = xfr_ref.shape[0]
+    xr = xfr_ref[...]
+    xi = xfi_ref[...]
+    ef = ef_ref[...]                                     # [RB, 1]
+    w1r = w1r_ref[...].astype(mm_dtype)
+    w1i = w1i_ref[...].astype(mm_dtype)
+    w2r = w2r_ref[...].astype(mm_dtype)
+    w2i = w2i_ref[...].astype(mm_dtype)
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    dn = (((1,), (0,)), ((), ()))      # contract axis 1 of [RB, n, k]
+
+    def dot1(x, w):
+        return jax.lax.dot_general(x.astype(mm_dtype), w,
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros((rows, nc_pad), jnp.float32)
+    for l in range(lp):
+        tr = bkr_ref[0, l:l + 1, :]                      # [1, NF]
+        ti = bki_ref[0, l:l + 1, :]
+        pr = xr * tr - xi * ti                           # [RB, NF]
+        pi = xr * ti + xi * tr
+        # inverse DFT stage 1: contract n1 (index n = n1_idx*n2 + n2_idx,
+        # so [RB, n1, n2] contracting axis 1 gives [RB, n2, k1])
+        pr3 = pr.reshape(rows, n1, n2)
+        pi3 = pi.reshape(rows, n1, n2)
+        mr = dot1(pr3, w1r) - dot1(pi3, w1i)             # [RB, n2, k1]
+        mi = dot1(pr3, w1i) + dot1(pi3, w1r)
+        br = mr * twr - mi * twi
+        bi = mr * twi + mi * twr
+        # stage 2: contract n2 -> [RB, k1, k2]
+        cr = dot1(br, w2r) - dot1(bi, w2i)
+        ci = dot1(br, w2i) + dot1(bi, w2r)
+        # lag d = k1 + n1*k2: flatten in [k2, k1] order
+        cab = jnp.sqrt(cr * cr + ci * ci)
+        cab = jnp.swapaxes(cab, 1, 2).reshape(rows, n1 * n2)
+        c_l = jax.lax.slice(cab, (0, l * s), (rows, l * s + nc_pad))
+        e_hi = jax.lax.slice(ce_ref[...], (0, l * s + s),
+                             (rows, l * s + s + nc_pad))
+        e_lo = jax.lax.slice(ce_ref[...], (0, l * s), (rows, l * s + nc_pad))
+        e_l = e_hi - e_lo
+        term = c_l * jax.lax.rsqrt(jnp.maximum(e_l, ef))
+        acc = acc + jnp.where(e_l > ef, term, 0.0)
+    out_ref[:, 0, :] = acc
+
+
+def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
+                  nfft: int, interpret: bool | None = None,
+                  mm_dtype=jnp.float32) -> jnp.ndarray:
+    """Fused deep-sync matched-filter scores: seg [B, L] complex64,
+    bank [A, Lp, S] complex templates, scored at lags 0..2*window.
+
+    Returns score [B, A, 2*window+1], numerically matching the
+    sync.matched_filter_refine_bank FFT path (before its final /Lp)."""
+    from mercury_tpu.dsp import ops as _ops
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, seg_len = seg.shape
+    a, lp, s = bank.shape
+    n_cand = 2 * window + 1
+    n1, n2 = _ops._fft_mm_factor(nfft)
+    nc_pad = -(-n_cand // 128) * 128
+    assert (lp - 1) * s + nc_pad <= nfft, "lag support exceeds transform"
+
+    # forward spectra (cheap: one matmul FFT over [B, L]) — f32 planes at
+    # the pallas_call boundary (the TPU runtime cannot pass complex)
+    xf = _ops.fft_mm(seg, n=nfft)
+    xfr = jnp.real(xf)
+    xfi = jnp.imag(xf)
+
+    # template spectra, conjugated for correlation, pre-divided by the
+    # per-(a,l) template norms so the kernel needs no t_norm input
+    t_norm = np.sqrt(np.sum(np.abs(bank) ** 2, axis=-1))     # [A, Lp]
+    bankn = np.asarray(bank) / t_norm[..., None]
+    tfc = np.conj(np.fft.fft(bankn, n=nfft, axis=-1)).astype(np.complex64)
+    bkr = jnp.asarray(np.ascontiguousarray(tfc.real))
+    bki = jnp.asarray(np.ascontiguousarray(tfc.imag))
+
+    # energy prefix sums + silence floor (identical to the XLA scoring)
+    e = jnp.abs(seg) ** 2
+    ce = jnp.concatenate([jnp.zeros_like(e[..., :1]),
+                          jnp.cumsum(e, axis=-1)], axis=-1)
+    ce_len = lp * s + nc_pad
+    if ce.shape[-1] < ce_len:
+        ce = jnp.pad(ce, [(0, 0), (0, ce_len - ce.shape[-1])], mode="edge")
+    else:
+        ce = ce[..., :ce_len]
+    ef = (1e-4 * jnp.mean(e, axis=-1, keepdims=True) * s + 1e-20
+          ).astype(jnp.float32)
+
+    w1r, w1i, twr, twi, w2r, w2i = (
+        jnp.asarray(m) for m in _ops._fft_mm_mats(n1, n2, True, np.float32))
+
+    rpad = (-b) % _MF_ROWS
+    if rpad:
+        xfr = jnp.pad(xfr, [(0, rpad), (0, 0)])
+        xfi = jnp.pad(xfi, [(0, rpad), (0, 0)])
+        ce = jnp.pad(ce, [(0, rpad), (0, 0)])
+        ef = jnp.pad(ef, [(0, rpad), (0, 0)], constant_values=1.0)
+    bp = b + rpad
+
+    kern = functools.partial(_deep_mf_kernel, lp=lp, s=s, n1=n1, n2=n2,
+                             nc_pad=nc_pad, mm_dtype=mm_dtype)
+    row_spec = lambda r, a_: (r, 0)                      # noqa: E731
+    score = pl.pallas_call(
+        kern,
+        grid=(bp // _MF_ROWS, a),
+        in_specs=[
+            pl.BlockSpec((_MF_ROWS, nfft), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MF_ROWS, nfft), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, nfft), lambda r, a_: (a_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, nfft), lambda r, a_: (a_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MF_ROWS, ce_len), row_spec,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MF_ROWS, 1), row_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n1), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n1), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n1), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n1), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, n2), lambda r, a_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MF_ROWS, 1, nc_pad),
+                               lambda r, a_: (r, a_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, a, nc_pad), jnp.float32),
+        interpret=interpret,
+    )(xfr, xfi, bkr, bki, ce, ef, w1r, w1i, twr, twi, w2r, w2i)
+    return score[:b, :, :n_cand]

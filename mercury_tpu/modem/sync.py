@@ -167,6 +167,7 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
                                bank: np.ndarray, window: int,
                                use_mm: bool | None = None,
                                use_fft_mm: bool | None = None,
+                               use_pallas: bool | None = None,
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter refinement against a bank of A template variants
     (e.g. CFO-alias rotations, host-precomputed) in one pass.
@@ -211,6 +212,21 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         nfft2 = 1
         while nfft2 < seg_len:
             nfft2 *= 2
+        if use_pallas is None:
+            # the fused VMEM kernel is the TPU production path for the
+            # whole-buffer (deep-sync) scan; the XLA formulations below are
+            # fusion-bound there (51.6 / 47.3 ms vs the kernel's in-VMEM
+            # pipeline — docs/roofline_r3.json "deep MF" rows)
+            use_pallas = (jax.default_backend() == "tpu"
+                          and seg.dtype == jnp.complex64)
+        if use_pallas:
+            from mercury_tpu.dsp.pallas_kernels import deep_mf_score
+            score_p = deep_mf_score(seg, np.asarray(bank), window, nfft2)
+            best_p = jnp.argmax(score_p, axis=-1)               # [B, A]
+            delay_p = start[:, None] + best_p
+            return (delay_p.astype(jnp.int32),
+                    jnp.take_along_axis(score_p, best_p[..., None],
+                                        axis=-1)[..., 0] / lp)
         tfc = np.conj(np.fft.fft(bank, n=nfft2, axis=-1))
         if use_fft_mm is None:
             use_fft_mm = (jax.default_backend() != "cpu"

@@ -153,6 +153,34 @@ def test_fft_mm_roundtrip_correlation():
                                atol=3e-4 * np.max(np.abs(ref)))
 
 
+def test_ofdm_demod_dft_mm_parity():
+    """ofdm_demod's fused DFT-matmul path (dft_mm with the carrier-depad
+    fold) == the jnp.fft path, forced on CPU via use_mm."""
+    g = build_geometry(9, with_pre_eq=False)
+    rng = np.random.default_rng(13)
+    sym = (rng.standard_normal((3, g.nsymb, g.nofdm))
+           + 1j * rng.standard_normal((3, g.nsymb, g.nofdm))
+           ).astype(np.complex64)
+    a = ops.ofdm_demod(jnp.asarray(sym), jnp.asarray(g.pad_map),
+                       g.nfft, g.ngi, use_mm=False)
+    b = ops.ofdm_demod(jnp.asarray(sym), jnp.asarray(g.pad_map),
+                       g.nfft, g.ngi, use_mm=True)
+    assert a.shape == b.shape == (3, g.nsymb, g.nc)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dft_mm_matches_fft_inverse():
+    """dft_mm inverse (unnormalized, the reference's IFFT convention) ==
+    jnp.fft.ifft * n."""
+    rng = np.random.default_rng(14)
+    x = (rng.standard_normal((5, 256))
+         + 1j * rng.standard_normal((5, 256))).astype(np.complex64)
+    got = np.asarray(ops.dft_mm(jnp.asarray(x), 256, inverse=True))
+    ref = np.fft.ifft(x, axis=-1) * 256
+    np.testing.assert_allclose(got, ref.astype(np.complex64), atol=3e-4)
+
+
 def test_matched_filter_bank_fft_mm_parity():
     """The TPU deep-sync branch (FFT correlation computed via ops.fft_mm)
     == the jnp.fft branch: same refined delays, near-identical scores.
@@ -179,6 +207,66 @@ def test_matched_filter_bank_fft_mm_parity():
     np.testing.assert_allclose(np.asarray(s_fft), np.asarray(s_mm),
                                rtol=5e-4, atol=5e-4)
     assert int(np.asarray(d_mm)[1, 2]) == 317
+
+
+def test_deep_mf_score_kernel_parity():
+    """The fused deep-sync matched-filter Pallas kernel == the XLA FFT
+    scoring path of matched_filter_refine_bank: same argmax lags,
+    near-identical normalized scores (interpret mode on CPU)."""
+    from mercury_tpu.dsp.pallas_kernels import deep_mf_score
+    from mercury_tpu.modem import sync
+
+    rng = np.random.default_rng(15)
+    a, lp, s = 3, 4, 96
+    bank = (rng.standard_normal((a, lp, s))
+            + 1j * rng.standard_normal((a, lp, s))).astype(np.complex64)
+    window = 280
+    seg_len = 2 * window + lp * s
+    nfft = 1
+    while nfft < seg_len:
+        nfft *= 2
+    seg = (rng.standard_normal((5, seg_len))
+           + 1j * rng.standard_normal((5, seg_len))).astype(np.complex64)
+    seg[2, 150: 150 + lp * s] += 5.0 * bank[1].reshape(-1)
+    seg[4, : 40] = 0.0                       # exercise the silence floor
+    seg_j = jnp.asarray(seg)
+    start = jnp.zeros(5, jnp.int32)
+    d_ref, s_ref = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_fft_mm=False)
+    score = deep_mf_score(seg_j, bank, window, nfft, interpret=True)
+    best = jnp.argmax(score, axis=-1)
+    s_best = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(best))
+    np.testing.assert_allclose(np.asarray(s_best), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-3)
+    assert int(np.asarray(best)[2, 1]) == 150
+
+
+def test_matched_filter_bank_pallas_branch_parity():
+    """matched_filter_refine_bank(use_pallas=True) == the FFT branch at the
+    API level: identical delays, matching scores (interpret on CPU)."""
+    from mercury_tpu.modem import sync
+
+    rng = np.random.default_rng(16)
+    a, lp, s = 2, 3, 64
+    bank = (rng.standard_normal((a, lp, s))
+            + 1j * rng.standard_normal((a, lp, s))).astype(np.complex64)
+    window = 200
+    seg_len = 2 * window + lp * s
+    seg = (rng.standard_normal((4, seg_len))
+           + 1j * rng.standard_normal((4, seg_len))).astype(np.complex64)
+    seg[0, 88: 88 + lp * s] += 4.0 * bank[0].reshape(-1)
+    seg_j = jnp.asarray(seg)
+    start = jnp.asarray([0, 10, 20, 30], jnp.int32)
+    d_ref, s_ref = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_fft_mm=False,
+        use_pallas=False)
+    d_p, s_p = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_p))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-3)
+    assert int(np.asarray(d_p)[0, 0]) == 88
 
 
 def test_matched_filter_bank_mm_parity():

@@ -227,20 +227,31 @@ def main() -> int:
         (2, BATCH, seg_len_g)).astype(np.float32))
     zeros_b = jnp.zeros(BATCH, jnp.int32)
     n_tr = BATCH * (1 + a_rows * lp)             # fwd + per-bank inverse
-    for use_fm, name in ((False, "deep MF corr (jnp.fft)"),
-                         (True, "deep MF corr (fft_mm MXU)")):
-        def mf(x2, _u=use_fm):
+    for engine, name in (("fft", "deep MF corr (jnp.fft)"),
+                         ("fft_mm", "deep MF corr (fft_mm MXU)"),
+                         ("pallas", "deep MF fused (pallas VMEM)")):
+        def mf(x2, _e=engine):
             seg = x2[0] + 1j * x2[1]
             _d, s = sync_mod.matched_filter_refine_bank(
-                seg, zeros_b, bank_g, win_g, use_mm=False, use_fft_mm=_u)
+                seg, zeros_b, bank_g, win_g, use_mm=False,
+                use_fft_mm=(_e == "fft_mm"), use_pallas=(_e == "pallas"))
             return s
-        if use_fm:            # 2 matmul passes x 3 Karatsuba real matmuls
-            flops = n_tr * 2 * 3 * 2 * nfft2 * 128
-        else:                 # radix-2 butterfly count
+        if engine == "fft":   # radix-2 butterfly count
             flops = n_tr * 5 * nfft2 * np.log2(nfft2)
+        elif engine == "fft_mm":  # 2 matmul passes x 3 Karatsuba matmuls
+            flops = n_tr * 2 * 3 * 2 * nfft2 * 128
+        else:                 # kernel: 4-matmul complex, inverse only + fwd
+            flops = (BATCH * a_rows * lp * 2 * 4 * 2 * nfft2 * 128
+                     + BATCH * 2 * 3 * 2 * nfft2 * 128)
+        if engine == "pallas":
+            # reads xf per (row, a) revisit + bank + score write
+            bytes_ = 4 * (2 * BATCH * nfft2 * a_rows
+                          + 2 * a_rows * lp * nfft2
+                          + BATCH * a_rows * (2 * win_g + 1))
+        else:
+            bytes_ = 8 * BATCH * (1 + 2 * a_rows * lp) * nfft2
         t, t1 = timed_k(mf, segg2, reps=3)
-        record(name, t, t1, flops,
-               8 * BATCH * (1 + 2 * a_rows * lp) * nfft2,
+        record(name, t, t1, flops, bytes_,
                f"A={a_rows} Lp={lp} nfft={nfft2}")
 
     path = os.path.join(os.path.dirname(os.path.dirname(
