@@ -354,6 +354,16 @@ def peak_clip(x: jnp.ndarray, papr_db: float) -> jnp.ndarray:
 _dft_mat_cache: dict = {}
 
 
+def _karatsuba_cmm(pr, pi, qr, qi):
+    """Karatsuba 3-matmul complex multiply (25% fewer MXU flops than the
+    4-matmul form): re = k1-k2, im = k1+k3 with k1 = pr(qr+qi),
+    k2 = (pi+pr)qi, k3 = (pi-pr)qr."""
+    k1 = pr @ (qr + qi)
+    k2 = (pi + pr) @ qi
+    k3 = (pi - pr) @ qr
+    return k1 - k2, k1 + k3
+
+
 def _fft_mm_mats(n1: int, n2: int, inverse: bool, mm_dtype) -> tuple:
     """Host-precomputed DFT factor matrices for the Cooley-Tukey matmul FFT:
     (W1 [n1,n1], twiddle [n2,n1], W2 [n2,n2]) as (re, im) float pairs."""
@@ -419,16 +429,7 @@ def fft_mm(x: jnp.ndarray, n: int | None = None, inverse: bool = False,
         w1r, w1i, twr, twi, w2r, w2i = (
             m.astype(mm_dtype) for m in (w1r, w1i, twr, twi, w2r, w2i))
     batch = x.shape[:-1]
-
-    def cmm3(pr, pi, qr, qi):
-        # Karatsuba 3-matmul complex multiply (25% fewer MXU flops than
-        # the 4-matmul form): re = k1-k2, im = k1+k3 with
-        # k1 = pr(qr+qi), k2 = (pi+pr)qi, k3 = (pi-pr)qr
-        k1 = pr @ (qr + qi)
-        k2 = (pi + pr) @ qi
-        k3 = (pi - pr) @ qr
-        return k1 - k2, k1 + k3
-
+    cmm3 = _karatsuba_cmm
     xr = jnp.real(x).astype(mm_dtype).reshape(*batch, n1, n2)
     xi = jnp.imag(x).astype(mm_dtype).reshape(*batch, n1, n2)
     xr = jnp.swapaxes(xr, -1, -2)            # [.., n2, n1]
@@ -462,10 +463,50 @@ def ofdm_mod(carriers: jnp.ndarray, pad_map, nfft: int, ngi: int) -> jnp.ndarray
     return jnp.concatenate([td[..., nfft - ngi:], td], axis=-1).astype(cdtype)
 
 
-def ofdm_demod(samples: jnp.ndarray, pad_map, nfft: int, ngi: int) -> jnp.ndarray:
+def dft_mm(x: jnp.ndarray, n: int, inverse: bool = False,
+           cols=None) -> jnp.ndarray:
+    """Direct [.., n] @ [n, n] DFT as one Karatsuba complex-matmul triple —
+    the right shape for the per-symbol OFDM (I)FFT (n = Nfft = 256 fits the
+    MXU in two tiles; a radix split would only shrink an already-small
+    contraction). `cols` (host array) selects output bins, folding the
+    carrier depad gather into the DFT matrix columns — the demod then reads
+    [.., Nofdm] and writes [.., Nc] with nothing in between.
+
+    Matches jnp.fft.fft(x)[..., cols] (or ifft*n with inverse=True, which is
+    the reference's unnormalized IFFT — ofdm.cc:375-376)."""
+    key = ("dft", n, bool(inverse),
+           None if cols is None else tuple(np.asarray(cols).tolist()))
+    mats = _dft_mat_cache.get(key)
+    if mats is None:
+        sgn = 1.0 if inverse else -1.0
+        w = np.exp(sgn * 2j * np.pi
+                   * np.outer(np.arange(n), np.arange(n)) / n)
+        if cols is not None:
+            w = w[:, np.asarray(cols)]
+        mats = (np.ascontiguousarray(w.real).astype(np.float32),
+                np.ascontiguousarray(w.imag).astype(np.float32))
+        _dft_mat_cache[key] = mats
+    wr, wi = (jnp.asarray(m) for m in mats)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    cr, ci = _karatsuba_cmm(xr, xi, wr, wi)
+    return jax.lax.complex(cr, ci)
+
+
+def ofdm_demod(samples: jnp.ndarray, pad_map, nfft: int, ngi: int,
+               use_mm: bool | None = None) -> jnp.ndarray:
     """OFDM symbol demodulation [..., S, Nofdm] -> [..., S, Nc]: strip GI,
-    1/N-normalized FFT (ofdm.cc:439-442), de-pad carriers."""
-    pad_map = jnp.asarray(pad_map)
+    1/N-normalized FFT (ofdm.cc:439-442), de-pad carriers.
+
+    use_mm=None auto-selects the fused DFT-matmul (dft_mm with the depad
+    fold) on accelerators for f32 grids; CPU and float64 keep jnp.fft
+    (bit-stable golden-parity path)."""
     td = samples[..., ngi:ngi + nfft]
+    if use_mm is None:
+        use_mm = (jax.default_backend() != "cpu"
+                  and samples.dtype != jnp.complex128)
+    if use_mm:
+        return dft_mm(td, nfft, cols=pad_map) / nfft
+    pad_map = jnp.asarray(pad_map)
     spec = jnp.fft.fft(td, axis=-1) / nfft
     return spec[..., pad_map]
