@@ -222,7 +222,7 @@ def _deep_mf_kernel(xfr_ref, xfi_ref, bkr_ref, bki_ref, ce_ref, ef_ref,
         e_l = e_hi - e_lo
         term = c_l * jax.lax.rsqrt(jnp.maximum(e_l, ef))
         acc = acc + jnp.where(e_l > ef, term, 0.0)
-    out_ref[:, 0, :] = acc
+    out_ref[0, :, :] = acc
 
 
 def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
@@ -310,10 +310,13 @@ def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
             pl.BlockSpec((n2, n2), lambda r, a_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_MF_ROWS, 1, nc_pad),
-                               lambda r, a_: (r, a_, 0),
+        # score laid out [A, B, nc]: Mosaic requires the last two block
+        # dims to be (8, 128)-divisible (or full), which (RB, nc_pad) is
+        # and (1, nc_pad) would not be
+        out_specs=pl.BlockSpec((1, _MF_ROWS, nc_pad),
+                               lambda r, a_: (a_, r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, a, nc_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((a, bp, nc_pad), jnp.float32),
         interpret=interpret,
     )(xfr, xfi, bkr, bki, ce, ef, w1r, w1i, twr, twi, w2r, w2i)
-    return score[:b, :, :n_cand]
+    return jnp.swapaxes(score[:, :b, :n_cand], 0, 1)
