@@ -173,6 +173,12 @@ def mix_fir_decimate(pb: jnp.ndarray, taps, fs: float, fc: float,
 
 _MF_ROWS = 8
 
+# matmul input dtype for the deep-MF inverse-DFT stages. The scores only
+# arbitrate an argmax, so bfloat16 inputs (f32 accumulate) are a candidate;
+# float32 is the shipped default — the kernel-level A/B and the threshold
+# sensitivity check (tools/chip_session3_r3.py) decide.
+DEEP_MF_MM_DTYPE = jnp.float32
+
 
 def _deep_mf_kernel(xfr_ref, xfi_ref, bkr_ref, bki_ref, ce_ref, ef_ref,
                     w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
@@ -227,7 +233,7 @@ def _deep_mf_kernel(xfr_ref, xfi_ref, bkr_ref, bki_ref, ce_ref, ef_ref,
 
 def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
                   nfft: int, interpret: bool | None = None,
-                  mm_dtype=jnp.float32) -> jnp.ndarray:
+                  mm_dtype=None) -> jnp.ndarray:
     """Fused deep-sync matched-filter scores: seg [B, L] complex64,
     bank [A, Lp, S] complex templates, scored at lags 0..2*window.
 
@@ -237,6 +243,8 @@ def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if mm_dtype is None:
+        mm_dtype = DEEP_MF_MM_DTYPE
     b, seg_len = seg.shape
     a, lp, s = bank.shape
     n_cand = 2 * window + 1

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Third on-chip session (round 3): bf16 vs f32 matmuls in the deep-MF
+Pallas kernel. Short by design — kernel-level amortized A/B, argmax
+agreement, and the CONFIG_0 threshold-sensitivity check at bf16.
+
+Usage: python tools/chip_session3_r3.py [budget_minutes]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T0 = time.time()
+BUDGET_S = (float(sys.argv[1]) if len(sys.argv) > 1 else 45.0) * 60.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from mercury_tpu.dsp import pallas_kernels as pk
+
+    K = 16
+    B = 256
+    a, lp, s = 17, 4, 136
+    win = 7140
+    seg_len = 2 * win + lp * s
+    rng = np.random.default_rng(0)
+    seg2 = jnp.asarray(rng.standard_normal((2, B, seg_len)).astype(np.float32))
+    bank = (rng.standard_normal((a, lp, s))
+            + 1j * rng.standard_normal((a, lp, s))).astype(np.complex64)
+
+    def timed_k(stage, x, reps=3):
+        def body(_i, c):
+            out = stage(c)
+            sm = jnp.sum(jnp.abs(out).astype(jnp.float32))
+            return c + (sm * 1e-30).astype(c.dtype)
+        loop = jax.jit(lambda x0: lax.fori_loop(0, K, body, x0))
+        one = jax.jit(lambda x0: body(0, x0))
+        jax.block_until_ready(loop(x))
+        jax.block_until_ready(one(x))
+        ts_l, ts_1 = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(x))
+            ts_l.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.block_until_ready(one(x))
+            ts_1.append(time.perf_counter() - t0)
+        return max(min(ts_l) - min(ts_1), 1e-9) / (K - 1)
+
+    results = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        if time.time() - T0 > BUDGET_S - 360:
+            print("budget exhausted", flush=True)
+            break
+
+        def mf(x2, _dt=dt):
+            return pk.deep_mf_score(x2[0] + 1j * x2[1], bank, win, 16384,
+                                    mm_dtype=_dt)
+        t = timed_k(mf, seg2)
+        results[name] = t
+        print(f"deep_mf_score mm_dtype={name}: {t*1e3:.3f} ms/apply",
+              flush=True)
+
+    # argmax agreement at a planted-template SNR near threshold
+    if "bf16" in results:
+        seg_p = rng.standard_normal((32, seg_len)).astype(np.float32) \
+            + 1j * rng.standard_normal((32, seg_len)).astype(np.float32)
+        lags = rng.integers(0, 2 * win, 32)
+        for i in range(32):
+            seg_p[i, lags[i]: lags[i] + lp * s] += \
+                0.6 * bank[3].reshape(-1) / np.sqrt(np.mean(np.abs(bank) ** 2))
+        sp2 = jnp.asarray(
+            np.stack([seg_p.real, seg_p.imag]).astype(np.float32))
+
+        @jax.jit
+        def best_of(x2, dtname):
+            sc = pk.deep_mf_score(x2[0] + 1j * x2[1], bank, win, 16384,
+                                  mm_dtype=(jnp.bfloat16 if dtname == "b"
+                                            else jnp.float32))
+            return jnp.argmax(sc, axis=-1)
+        b_f = np.asarray(best_of(sp2, "f"))
+        b_b = np.asarray(best_of(sp2, "b"))
+        agree = float((b_f == b_b).mean())
+        print(f"argmax agreement bf16 vs f32: {agree:.4f}", flush=True)
+
+        if agree >= 0.99 and results["bf16"] < 0.85 * results["f32"]:
+            # worth it — end-to-end threshold check at bf16
+            from mercury_tpu.channel import sim
+            from mercury_tpu.core.geometry import build_geometry
+            from mercury_tpu.modem.rx import RxChain
+            from mercury_tpu.modem.tx import TxChain
+
+            pk.DEEP_MF_MM_DTYPE = jnp.bfloat16
+            g = build_geometry(0)
+            tx, rx = TxChain(g), RxChain(g)
+            payload = rng.integers(0, 256, (B, g.frame_bytes)).astype(np.uint8)
+            frames = tx.transmit(payload)
+            buf_len = g.nofdm * g.buffer_nsymb * g.interp
+            delay = ((g.preamble_nsymb + 2) * g.nofdm + 37) * g.interp
+            buf = sim.awgn_passband(jax.random.key(5), frames,
+                                    sim.sigma_for_esn0(-3.75), delay, buf_len)
+            t_c = time.perf_counter()
+            res = rx.receive(jnp.asarray(buf, jnp.float32))
+            jax.block_until_ready(res.payload)
+            compile_s = time.perf_counter() - t_c
+            ok = np.asarray(res.crc_ok)
+            # timing at high SNR, same program
+            buf_h = sim.awgn_passband(jax.random.key(1), frames,
+                                      sim.sigma_for_esn0(30.0), delay,
+                                      buf_len)
+            buf_h = jnp.asarray(buf_h, jnp.float32)
+            res_h = rx.receive(buf_h)
+            jax.block_until_ready(res_h.payload)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                res_h = rx.receive(buf_h)
+            jax.block_until_ready(res_h.payload)
+            dt_h = time.perf_counter() - t0
+            print(json.dumps({
+                "check": "cfg0_bf16_deep_mf",
+                "threshold_fer": round(1.0 - ok.mean(), 4),
+                "f32_reference_fer": 0.0742,
+                "msamples_per_s": round(B * buf_len * 10 / dt_h / 1e6, 1),
+                "compile_s": round(compile_s, 1),
+            }), flush=True)
+        else:
+            print("bf16 not adopted (insufficient gain or disagreement)",
+                  flush=True)
+
+    print(f"session3 done in {time.time() - T0:.0f}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
