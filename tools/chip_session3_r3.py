@@ -54,6 +54,23 @@ def main() -> int:
             ts_1.append(time.perf_counter() - t0)
         return max(min(ts_l) - min(ts_1), 1e-9) / (K - 1)
 
+    # tunnel sanity gate: after a compile stall the relay can stop
+    # blocking on completion — everything then reads ~0 ms. Time one known
+    # workload; abort rather than record garbage.
+    sane_probe = jax.jit(lambda x2: pk.deep_mf_score(
+        x2[0] + 1j * x2[1], bank, win, 16384))
+    jax.block_until_ready(sane_probe(seg2))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = sane_probe(seg2)
+    jax.block_until_ready(out)
+    probe_ms = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"sanity probe: {probe_ms:.2f} ms/call (expect ~9-40)", flush=True)
+    if probe_ms < 3.0:
+        print("TUNNEL COMPLETION SIGNALING BROKEN — aborting, no results "
+              "recorded", flush=True)
+        return 1
+
     results = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         if time.time() - T0 > BUDGET_S - 360:
@@ -79,7 +96,9 @@ def main() -> int:
         sp2 = jnp.asarray(
             np.stack([seg_p.real, seg_p.imag]).astype(np.float32))
 
-        @jax.jit
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("dtname",))
         def best_of(x2, dtname):
             sc = pk.deep_mf_score(x2[0] + 1j * x2[1], bank, win, 16384,
                                   mm_dtype=(jnp.bfloat16 if dtname == "b"
@@ -132,6 +151,67 @@ def main() -> int:
             }), flush=True)
         else:
             print("bf16 not adopted (insufficient gain or disagreement)",
+                  flush=True)
+
+    # cfg3 re-measure (its session-2 row was a post-stall artifact)
+    if time.time() - T0 < BUDGET_S - 420:
+        try:
+            from mercury_tpu.channel import sim
+            from mercury_tpu.core.geometry import build_geometry
+            from mercury_tpu.modem.rx import RxChain
+            from mercury_tpu.modem.tx import TxChain
+
+            pk.DEEP_MF_MM_DTYPE = jnp.float32      # shipped default
+            g = build_geometry(3)
+            tx, rx = TxChain(g), RxChain(g)
+            payload3 = rng.integers(0, 256, (B, g.frame_bytes)
+                                    ).astype(np.uint8)
+            frames = tx.transmit(payload3)
+            buf_len = g.nofdm * g.buffer_nsymb * g.interp
+            delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
+            buf = sim.awgn_passband(jax.random.key(1), frames,
+                                    sim.sigma_for_esn0(30.0), delay, buf_len)
+            buf = jnp.asarray(buf, jnp.float32)
+            t_c = time.perf_counter()
+            res = rx.receive(buf)
+            jax.block_until_ready(res.payload)
+            compile_s = time.perf_counter() - t_c
+            t0 = time.perf_counter()
+            for _ in range(10):
+                res = rx.receive(buf)
+            jax.block_until_ready(res.payload)
+            dt = time.perf_counter() - t0
+            ok = np.asarray(res.crc_ok)
+            ms_call = dt / 10 * 1e3
+            row = {"config": 3, "deep_sync": True, "batch": B,
+                   "buf_len": buf_len, "frame_bytes": g.frame_bytes,
+                   "msamples_per_s": round(B * buf_len * 10 / dt / 1e6, 1),
+                   "decode_goodput_mbit_s": round(
+                       int(ok.sum()) * g.frame_bytes * 8 * 10 / dt / 1e6, 1),
+                   "realtime_channels": int(B * buf_len * 10 / dt // 48000),
+                   "crc_ok_frac": round(float(ok.mean()), 4),
+                   "ms_per_call": round(ms_call, 3),
+                   "compile_s": round(compile_s, 1),
+                   "note": "fused deep-MF pallas kernel (round-3)"}
+            print(json.dumps(row), flush=True)
+            if ms_call > 5.0:                      # sanity: a real timing
+                docs = os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "docs",
+                    "throughput_r3.json")
+                with open(docs) as f:
+                    table = json.load(f)
+                for r in table["per_mode"]:
+                    if r["config"] == 3 and r.get("deep_sync"):
+                        r.clear()
+                        r.update(row)
+                with open(docs, "w") as f:
+                    json.dump(table, f, indent=1)
+                print("updated cfg3 row", flush=True)
+            else:
+                print("cfg3 timing below sanity floor — NOT recorded",
+                      flush=True)
+        except Exception as e:          # noqa: BLE001
+            print(f"cfg3 re-measure FAILED: {type(e).__name__}: {e}",
                   flush=True)
 
     print(f"session3 done in {time.time() - T0:.0f}s", flush=True)
