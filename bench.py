@@ -61,11 +61,37 @@ def worker(platform: str) -> None:
               file=sys.stderr)
     jax.block_until_ready(res.payload)
 
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        res = rx.receive(buf)
-    jax.block_until_ready(res.payload)
-    dt = time.perf_counter() - t0
+    def timed() -> float:
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(REPS):
+            r = rx.receive(buf)
+        jax.block_until_ready(r.payload)
+        return time.perf_counter() - t0
+
+    dt = timed()
+    # Post-stall relay artifact guard: after a compile stall the axon relay
+    # can stop blocking on completion — block_until_ready returns early and
+    # the loop reads ~0.2 ms/call for a ~8 ms-class program (observed round
+    # 3: a "90901 Msamples/s" row). A full-RX call at batch 256 cannot
+    # physically complete faster than ~2 ms on this chip; if it reads under
+    # that, wait for the relay to settle and retry rather than record a
+    # physically impossible rate.
+    tries = 0
+    while platform == "tpu" and dt / REPS * 1e3 < 2.0 and tries < 7:
+        print(f"timing artifact ({dt/REPS*1e3:.3f} ms/call) — waiting for "
+              "the relay to settle", file=sys.stderr)
+        time.sleep(90)
+        dt = timed()
+        tries += 1
+    if platform == "tpu" and dt / REPS * 1e3 < 2.0:
+        # Emit no JSON: the orchestrator treats a silent TPU worker as
+        # tunnel-down and falls back to the CPU measurement, whose
+        # "platform": "cpu" field already documents that situation —
+        # strictly better than recording an impossible rate.
+        print("artifact persisted; refusing to record (last sane capture: "
+              "docs/throughput_r3.json)", file=sys.stderr)
+        raise SystemExit(3)
 
     sps = BATCH * buf_len * REPS / dt
     # scaling prediction from the analytic communication account
