@@ -61,28 +61,41 @@ def worker(platform: str) -> None:
               file=sys.stderr)
     jax.block_until_ready(res.payload)
 
-    def timed() -> float:
+    # Robust timing: after a compile stall the axon relay can stop blocking
+    # on completion (block_until_ready returns early — a ~8 ms-class call
+    # reads ~0.2 ms) and it content-caches repeated identical executions.
+    # Defeat both by construction: give every rep a distinct input (a
+    # float-bit-level perturbation far below the channel noise floor) and
+    # use a small D2H transfer as the completion barrier (the relay must
+    # produce real bytes); time chains of N and 2N reps and difference
+    # them so the barrier/dispatch overhead cancels.
+    seq = [0]
+
+    def run_chain(n: int) -> float:
         t0 = time.perf_counter()
         r = None
-        for _ in range(REPS):
-            r = rx.receive(buf)
-        jax.block_until_ready(r.payload)
+        for _ in range(n):
+            seq[0] += 1
+            r = rx.receive(buf + jnp.float32(seq[0] * 1e-7))
+        np.asarray(r.payload[:1, :4])          # D2H barrier
         return time.perf_counter() - t0
 
-    dt = timed()
-    # Post-stall relay artifact guard: after a compile stall the axon relay
-    # can stop blocking on completion — block_until_ready returns early and
-    # the loop reads ~0.2 ms/call for a ~8 ms-class program (observed round
-    # 3: a "90901 Msamples/s" row). A full-RX call at batch 256 cannot
-    # physically complete faster than ~2 ms on this chip; if it reads under
-    # that, wait for the relay to settle and retry rather than record a
-    # physically impossible rate.
+    run_chain(1)                               # warm the perturbed path
+    t_n = run_chain(REPS)
+    t_2n = run_chain(2 * REPS)
+    dt = max(t_2n - t_n, 1e-9)                 # = REPS real calls
+
+    # plausibility guard: a batch-256 full-RX call cannot beat ~2 ms on
+    # this chip; if even the differenced timing is absurd, wait the relay
+    # out and finally fall back rather than record an impossible rate
     tries = 0
-    while platform == "tpu" and dt / REPS * 1e3 < 2.0 and tries < 7:
+    while platform == "tpu" and dt / REPS * 1e3 < 2.0 and tries < 5:
         print(f"timing artifact ({dt/REPS*1e3:.3f} ms/call) — waiting for "
               "the relay to settle", file=sys.stderr)
         time.sleep(90)
-        dt = timed()
+        t_n = run_chain(REPS)
+        t_2n = run_chain(2 * REPS)
+        dt = max(t_2n - t_n, 1e-9)
         tries += 1
     if platform == "tpu" and dt / REPS * 1e3 < 2.0:
         # Emit no JSON: the orchestrator treats a silent TPU worker as
