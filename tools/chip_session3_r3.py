@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Third on-chip session (round 3): bf16 vs f32 matmuls in the deep-MF
-Pallas kernel. Short by design — kernel-level amortized A/B, argmax
-agreement, and the CONFIG_0 threshold-sensitivity check at bf16.
+Pallas kernel, plus the cfg3 re-measure. All timings use the
+difference-of-chains + D2H-barrier method (the relay executes
+asynchronously after a stall and content-caches identical executions —
+block_until_ready alone is not a barrier; see bench.py).
 
 Usage: python tools/chip_session3_r3.py [budget_minutes]
 """
@@ -14,88 +16,69 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T0 = time.time()
-BUDGET_S = (float(sys.argv[1]) if len(sys.argv) > 1 else 45.0) * 60.0
+BUDGET_S = (float(sys.argv[1]) if len(sys.argv) > 1 else 35.0) * 60.0
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from mercury_tpu.dsp import pallas_kernels as pk
 
-    K = 16
     B = 256
     a, lp, s = 17, 4, 136
     win = 7140
     seg_len = 2 * win + lp * s
     rng = np.random.default_rng(0)
-    seg2 = jnp.asarray(rng.standard_normal((2, B, seg_len)).astype(np.float32))
+    seg2_np = rng.standard_normal((2, B, seg_len)).astype(np.float32)
+    seg2 = jnp.asarray(seg2_np)
     bank = (rng.standard_normal((a, lp, s))
             + 1j * rng.standard_normal((a, lp, s))).astype(np.complex64)
 
-    def timed_k(stage, x, reps=3):
-        def body(_i, c):
-            out = stage(c)
-            sm = jnp.sum(jnp.abs(out).astype(jnp.float32))
-            return c + (sm * 1e-30).astype(c.dtype)
-        loop = jax.jit(lambda x0: lax.fori_loop(0, K, body, x0))
-        one = jax.jit(lambda x0: body(0, x0))
-        jax.block_until_ready(loop(x))
-        jax.block_until_ready(one(x))
-        ts_l, ts_1 = [], []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(loop(x))
-            ts_l.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(one(x))
-            ts_1.append(time.perf_counter() - t0)
-        return max(min(ts_l) - min(ts_1), 1e-9) / (K - 1)
+    seq = [0]
 
-    # tunnel sanity gate: after a compile stall the relay can stop
-    # blocking on completion — everything then reads ~0 ms. Time one known
-    # workload; abort rather than record garbage.
-    sane_probe = jax.jit(lambda x2: pk.deep_mf_score(
-        x2[0] + 1j * x2[1], bank, win, 16384))
-    jax.block_until_ready(sane_probe(seg2))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = sane_probe(seg2)
-    jax.block_until_ready(out)
-    probe_ms = (time.perf_counter() - t0) / 3 * 1e3
-    print(f"sanity probe: {probe_ms:.2f} ms/call (expect ~9-40)", flush=True)
-    if probe_ms < 3.0:
-        print("TUNNEL COMPLETION SIGNALING BROKEN — aborting, no results "
-              "recorded", flush=True)
-        return 1
+    def chain_time(fn, x, n):
+        """Time n data-distinct executions, D2H barrier at the end."""
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            seq[0] += 1
+            out = fn(x + jnp.float32(seq[0] * 1e-7))
+        np.asarray(out[0, 0, :8])
+        return time.perf_counter() - t0
+
+    def per_call_ms(fn, x, n=6):
+        chain_time(fn, x, 1)                    # warm
+        t_n = chain_time(fn, x, n)
+        t_2n = chain_time(fn, x, 2 * n)
+        return max(t_2n - t_n, 1e-9) / n * 1e3
 
     results = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        if time.time() - T0 > BUDGET_S - 360:
+        if time.time() - T0 > BUDGET_S - 420:
             print("budget exhausted", flush=True)
             break
 
+        @jax.jit
         def mf(x2, _dt=dt):
             return pk.deep_mf_score(x2[0] + 1j * x2[1], bank, win, 16384,
                                     mm_dtype=_dt)
-        t = timed_k(mf, seg2)
+        t = per_call_ms(mf, seg2)
         results[name] = t
-        print(f"deep_mf_score mm_dtype={name}: {t*1e3:.3f} ms/apply",
-              flush=True)
+        print(f"deep_mf_score mm_dtype={name}: {t:.3f} ms/call", flush=True)
 
-    # argmax agreement at a planted-template SNR near threshold
-    if "bf16" in results:
-        seg_p = rng.standard_normal((32, seg_len)).astype(np.float32) \
-            + 1j * rng.standard_normal((32, seg_len)).astype(np.float32)
+    if "bf16" in results and results["f32"] > 1.0:
+        # argmax agreement at threshold-like planted SNR
+        seg_p = (rng.standard_normal((32, seg_len))
+                 + 1j * rng.standard_normal((32, seg_len)))
         lags = rng.integers(0, 2 * win, 32)
+        norm = np.sqrt(np.mean(np.abs(bank) ** 2))
         for i in range(32):
             seg_p[i, lags[i]: lags[i] + lp * s] += \
-                0.6 * bank[3].reshape(-1) / np.sqrt(np.mean(np.abs(bank) ** 2))
+                0.6 * bank[3].reshape(-1) / norm
         sp2 = jnp.asarray(
             np.stack([seg_p.real, seg_p.imag]).astype(np.float32))
-
         import functools
 
         @functools.partial(jax.jit, static_argnames=("dtname",))
@@ -108,50 +91,10 @@ def main() -> int:
         b_b = np.asarray(best_of(sp2, "b"))
         agree = float((b_f == b_b).mean())
         print(f"argmax agreement bf16 vs f32: {agree:.4f}", flush=True)
-
-        if agree >= 0.99 and results["bf16"] < 0.85 * results["f32"]:
-            # worth it — end-to-end threshold check at bf16
-            from mercury_tpu.channel import sim
-            from mercury_tpu.core.geometry import build_geometry
-            from mercury_tpu.modem.rx import RxChain
-            from mercury_tpu.modem.tx import TxChain
-
-            pk.DEEP_MF_MM_DTYPE = jnp.bfloat16
-            g = build_geometry(0)
-            tx, rx = TxChain(g), RxChain(g)
-            payload = rng.integers(0, 256, (B, g.frame_bytes)).astype(np.uint8)
-            frames = tx.transmit(payload)
-            buf_len = g.nofdm * g.buffer_nsymb * g.interp
-            delay = ((g.preamble_nsymb + 2) * g.nofdm + 37) * g.interp
-            buf = sim.awgn_passband(jax.random.key(5), frames,
-                                    sim.sigma_for_esn0(-3.75), delay, buf_len)
-            t_c = time.perf_counter()
-            res = rx.receive(jnp.asarray(buf, jnp.float32))
-            jax.block_until_ready(res.payload)
-            compile_s = time.perf_counter() - t_c
-            ok = np.asarray(res.crc_ok)
-            # timing at high SNR, same program
-            buf_h = sim.awgn_passband(jax.random.key(1), frames,
-                                      sim.sigma_for_esn0(30.0), delay,
-                                      buf_len)
-            buf_h = jnp.asarray(buf_h, jnp.float32)
-            res_h = rx.receive(buf_h)
-            jax.block_until_ready(res_h.payload)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                res_h = rx.receive(buf_h)
-            jax.block_until_ready(res_h.payload)
-            dt_h = time.perf_counter() - t0
-            print(json.dumps({
-                "check": "cfg0_bf16_deep_mf",
-                "threshold_fer": round(1.0 - ok.mean(), 4),
-                "f32_reference_fer": 0.0742,
-                "msamples_per_s": round(B * buf_len * 10 / dt_h / 1e6, 1),
-                "compile_s": round(compile_s, 1),
-            }), flush=True)
-        else:
-            print("bf16 not adopted (insufficient gain or disagreement)",
-                  flush=True)
+        print(json.dumps({"check": "deep_mf_bf16_ab",
+                          "f32_ms": round(results["f32"], 3),
+                          "bf16_ms": round(results["bf16"], 3),
+                          "argmax_agreement": agree}), flush=True)
 
     # cfg3 re-measure (its session-2 row was a post-stall artifact)
     if time.time() - T0 < BUDGET_S - 420:
@@ -161,7 +104,6 @@ def main() -> int:
             from mercury_tpu.modem.rx import RxChain
             from mercury_tpu.modem.tx import TxChain
 
-            pk.DEEP_MF_MM_DTYPE = jnp.float32      # shipped default
             g = build_geometry(3)
             tx, rx = TxChain(g), RxChain(g)
             payload3 = rng.integers(0, 256, (B, g.frame_bytes)
@@ -174,27 +116,39 @@ def main() -> int:
             buf = jnp.asarray(buf, jnp.float32)
             t_c = time.perf_counter()
             res = rx.receive(buf)
-            jax.block_until_ready(res.payload)
+            np.asarray(res.payload[:1, :4])
             compile_s = time.perf_counter() - t_c
-            t0 = time.perf_counter()
-            for _ in range(10):
-                res = rx.receive(buf)
-            jax.block_until_ready(res.payload)
-            dt = time.perf_counter() - t0
+
+            def rx_chain(x, n):
+                t0 = time.perf_counter()
+                r = None
+                for _ in range(n):
+                    seq[0] += 1
+                    r = rx.receive(x + jnp.float32(seq[0] * 1e-7))
+                np.asarray(r.payload[:1, :4])
+                return time.perf_counter() - t0, r
+            rx_chain(buf, 1)
+            t_n, _ = rx_chain(buf, 5)
+            t_2n, res = rx_chain(buf, 10)
+            dt5 = max(t_2n - t_n, 1e-9)
+            ms_call = dt5 / 5 * 1e3
             ok = np.asarray(res.crc_ok)
-            ms_call = dt / 10 * 1e3
             row = {"config": 3, "deep_sync": True, "batch": B,
                    "buf_len": buf_len, "frame_bytes": g.frame_bytes,
-                   "msamples_per_s": round(B * buf_len * 10 / dt / 1e6, 1),
+                   "msamples_per_s": round(B * buf_len / (ms_call / 1e3)
+                                           / 1e6, 1),
                    "decode_goodput_mbit_s": round(
-                       int(ok.sum()) * g.frame_bytes * 8 * 10 / dt / 1e6, 1),
-                   "realtime_channels": int(B * buf_len * 10 / dt // 48000),
+                       int(ok.sum()) * g.frame_bytes * 8
+                       / (ms_call / 1e3) / 1e6, 1),
+                   "realtime_channels": int(B * buf_len
+                                            / (ms_call / 1e3) // 48000),
                    "crc_ok_frac": round(float(ok.mean()), 4),
                    "ms_per_call": round(ms_call, 3),
                    "compile_s": round(compile_s, 1),
-                   "note": "fused deep-MF pallas kernel (round-3)"}
+                   "note": "fused deep-MF pallas kernel (round-3); "
+                           "difference-of-chains timing"}
             print(json.dumps(row), flush=True)
-            if ms_call > 5.0:                      # sanity: a real timing
+            if ms_call > 5.0:
                 docs = os.path.join(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))), "docs",
                     "throughput_r3.json")

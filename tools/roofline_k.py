@@ -51,10 +51,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
     buf_len = g.nofdm * g.buffer_nsymb * g.interp
 
+    seq = [0]
+
     def timed_k(stage, x, reps=5):
         """Wall time per stage application, amortized over k in-graph
         iterations. `stage` maps a real carry tensor to any pytree; the
-        carry absorbs sum(outputs)*1e-30 to force iteration dependency."""
+        carry absorbs sum(outputs)*1e-30 to force iteration dependency.
+
+        Every timed call gets a bit-level-perturbed input and ends on a
+        small D2H transfer: the relay executes asynchronously after a
+        stall (block_until_ready is not a barrier) and content-caches
+        identical executions — both observed round 3."""
         def body(_i, c):
             out = stage(c)
             s = sum(jnp.sum(jnp.abs(o).astype(jnp.float32))
@@ -63,18 +70,23 @@ def main() -> int:
 
         loop = jax.jit(lambda x0: lax.fori_loop(0, k, body, x0))
         one = jax.jit(lambda x0: body(0, x0))
-        jax.block_until_ready(loop(x))
-        jax.block_until_ready(one(x))
+
+        def run(fn):
+            seq[0] += 1
+            t0 = time.perf_counter()
+            out = fn(x + jnp.float32(seq[0] * 1e-7).astype(x.dtype))
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:8])
+            return time.perf_counter() - t0
+
+        run(loop)
+        run(one)
         ts_l, ts_1 = [], []
         for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(loop(x))
-            ts_l.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(one(x))
-            ts_1.append(time.perf_counter() - t0)
-        # subtract the single-shot time to cancel entry/exit work, then
-        # divide by the extra K-1 applications: pure marginal kernel time
+            ts_l.append(run(loop))
+            ts_1.append(run(one))
+        # subtract the single-shot time to cancel entry/exit + barrier
+        # work, then divide by the extra K-1 applications: pure marginal
+        # kernel time
         return max(min(ts_l) - min(ts_1), 1e-9) / (k - 1), min(ts_1)
 
     results = {"meta": {"platform": platform, "batch": BATCH, "config": CFG,
