@@ -27,7 +27,8 @@ REFERENCE_CPU_SAMPLES_PER_S = 1.77e6  # tools/golden_gen rxbench 9 10 (this host
 CFG = 9            # QPSK 8/16 — mid-ladder workhorse mode
 BATCH = 256        # past the dispatch-latency knee (throughput ~flat 128-256)
 REPS = 10
-TPU_TIMEOUT_S = 900
+TPU_TIMEOUT_S = 1500   # a stalled remote compile typically clears in
+                       # 10-25 min; 900 s lost the capture to one stall
 
 
 def worker(platform: str) -> None:
