@@ -27,8 +27,10 @@ REFERENCE_CPU_SAMPLES_PER_S = 1.77e6  # tools/golden_gen rxbench 9 10 (this host
 CFG = 9            # QPSK 8/16 — mid-ladder workhorse mode
 BATCH = 256        # past the dispatch-latency knee (throughput ~flat 128-256)
 REPS = 10
-TPU_TIMEOUT_S = 1500   # a stalled remote compile typically clears in
-                       # 10-25 min; 900 s lost the capture to one stall
+TPU_TIMEOUT_S = 2700   # generous: stalls observed at 10-25 min; the worker
+                       # is never killed at this deadline (see run_worker),
+                       # only abandoned — killing a TPU client mid-claim can
+                       # wedge the axon relay for hours
 
 
 def worker(platform: str) -> None:
@@ -135,19 +137,39 @@ def worker(platform: str) -> None:
 
 
 def run_worker(platform: str, timeout: int) -> str | None:
+    # No-kill policy: killing a TPU client mid-compile/claim can wedge the
+    # axon relay for hours (.claude/skills/verify/SKILL.md). Poll with a
+    # generous deadline; past it, ABANDON the child (leave it to finish and
+    # exit on its own) and fall back — never terminate it.
+    import tempfile
+
     env = dict(os.environ)
-    try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", platform],
-            capture_output=True, text=True, timeout=timeout, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        print(f"bench worker ({platform}) timed out", file=sys.stderr)
+    out_f = tempfile.NamedTemporaryFile("w+", suffix=f"_bench_{platform}.out",
+                                        delete=False)
+    err_f = tempfile.NamedTemporaryFile("w+", suffix=f"_bench_{platform}.err",
+                                        delete=False)
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", platform],
+        stdout=out_f, stderr=err_f, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    deadline = time.time() + timeout
+    while p.poll() is None and time.time() < deadline:
+        time.sleep(5)
+    if p.poll() is None:
+        print(f"bench worker ({platform}) exceeded {timeout}s — abandoned "
+              f"(pid {p.pid} left to exit on its own; output {out_f.name})",
+              file=sys.stderr)
         return None
-    for line in p.stdout.splitlines():
+    out_f.flush()
+    err_f.flush()
+    with open(out_f.name) as f:
+        stdout = f.read()
+    with open(err_f.name) as f:
+        stderr = f.read()
+    for line in stdout.splitlines():
         if line.startswith("{"):
             return line
-    print(p.stderr[-2000:], file=sys.stderr)
+    print(stderr[-2000:], file=sys.stderr)
     return None
 
 

@@ -415,6 +415,11 @@ def fft_mm(x: jnp.ndarray, n: int | None = None, inverse: bool = False,
 
     Matches jnp.fft.fft(x, n)/jnp.fft.ifft(x, n) up to dtype rounding.
     """
+    if mm_dtype is None:
+        # None means "no cast requested" — factor matrices are f32, so f32
+        # is the no-cast behavior (a literal astype(None) would promote the
+        # input planes to float64, which x32/TPU backends reject)
+        mm_dtype = jnp.float32
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] < n:
@@ -424,10 +429,8 @@ def fft_mm(x: jnp.ndarray, n: int | None = None, inverse: bool = False,
         x = x[..., :n]
     n1, n2 = _fft_mm_factor(n)
     w1r, w1i, twr, twi, w2r, w2i = (
-        jnp.asarray(m) for m in _fft_mm_mats(n1, n2, inverse, np.float32))
-    if mm_dtype is not None:
-        w1r, w1i, twr, twi, w2r, w2i = (
-            m.astype(mm_dtype) for m in (w1r, w1i, twr, twi, w2r, w2i))
+        jnp.asarray(m).astype(mm_dtype)
+        for m in _fft_mm_mats(n1, n2, inverse, np.float32))
     batch = x.shape[:-1]
     cmm3 = _karatsuba_cmm
     xr = jnp.real(x).astype(mm_dtype).reshape(*batch, n1, n2)

@@ -248,9 +248,16 @@ def deep_mf_score(seg: jnp.ndarray, bank: np.ndarray, window: int,
     b, seg_len = seg.shape
     a, lp, s = bank.shape
     n_cand = 2 * window + 1
-    n1, n2 = _ops._fft_mm_factor(nfft)
     nc_pad = -(-n_cand // 128) * 128
-    assert (lp - 1) * s + nc_pad <= nfft, "lag support exceeds transform"
+    # The kernel slices lag runs [l*s, l*s + nc_pad) out of an nfft-point
+    # circular correlation, so the padded lag support must fit inside the
+    # transform. A geometry with small decimated symbol length s and a
+    # buffer just under a power of two can violate this — grow the
+    # transform (zero-padding is free correctness-wise) instead of
+    # asserting (ADVICE r3).
+    while nfft < seg_len or (lp - 1) * s + nc_pad > nfft:
+        nfft *= 2
+    n1, n2 = _ops._fft_mm_factor(nfft)
 
     # forward spectra (cheap: one matmul FFT over [B, L]) — f32 planes at
     # the pallas_call boundary (the TPU runtime cannot pass complex)

@@ -242,6 +242,38 @@ def test_deep_mf_score_kernel_parity():
     assert int(np.asarray(best)[2, 1]) == 150
 
 
+def test_deep_mf_score_grows_undersized_transform():
+    """A transform too small for the padded lag support (or the segment)
+    no longer asserts: deep_mf_score grows nfft internally and still
+    matches the XLA scoring path (ADVICE r3: small decimated symbol
+    length + buffer just under a power of two)."""
+    from mercury_tpu.dsp.pallas_kernels import deep_mf_score
+    from mercury_tpu.modem import sync
+
+    rng = np.random.default_rng(23)
+    a, lp, s = 2, 4, 40                       # s < 128: nc_pad can overflow
+    bank = (rng.standard_normal((a, lp, s))
+            + 1j * rng.standard_normal((a, lp, s))).astype(np.complex64)
+    window = 200
+    seg_len = 2 * window + lp * s
+    seg = (rng.standard_normal((3, seg_len))
+           + 1j * rng.standard_normal((3, seg_len))).astype(np.complex64)
+    seg[1, 77: 77 + lp * s] += 5.0 * bank[0].reshape(-1)
+    seg_j = jnp.asarray(seg)
+    start = jnp.zeros(3, jnp.int32)
+    d_ref, s_ref = sync.matched_filter_refine_bank(
+        seg_j, start, bank, window, use_mm=False, use_fft_mm=False)
+    # nfft=256 violates both `nfft >= seg_len` and the padded-lag-support
+    # bound — before the fix this was an AssertionError
+    score = deep_mf_score(seg_j, bank, window, nfft=256, interpret=True)
+    best = jnp.argmax(score, axis=-1)
+    s_best = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(best))
+    np.testing.assert_allclose(np.asarray(s_best), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-3)
+    assert int(np.asarray(best)[1, 0]) == 77
+
+
 def test_matched_filter_bank_pallas_branch_parity():
     """matched_filter_refine_bank(use_pallas=True) == the FFT branch at the
     API level: identical delays, matching scores (interpret on CPU)."""

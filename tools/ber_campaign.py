@@ -91,7 +91,7 @@ def find_waterfall(run_fn, start: float, step: float, n_scan: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="docs/ber_r3.json")
+    ap.add_argument("--out", default="docs/ber_r4.json")
     ap.add_argument("--harness", default="all",
                     choices=["all", "bb", "pb", "mfsk"])
     ap.add_argument("--configs", type=int, nargs="*", default=None)

@@ -177,7 +177,9 @@ def main() -> int:
         try:
             import bench
             bench.worker("tpu")
-        except Exception as e:          # noqa: BLE001
+        except (Exception, SystemExit) as e:   # noqa: BLE001
+            # worker() raises SystemExit(3) on a persistent timing artifact
+            # (not an Exception subclass) — catch it too so steps 5+ still run
             print(f"bench FAILED: {type(e).__name__}: {e}", flush=True)
 
     # 5. remaining deep rows
