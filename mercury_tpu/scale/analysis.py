@@ -51,6 +51,160 @@ def hlo_collectives(jitted, *args) -> dict[str, int]:
     return counts
 
 
+_OPERAND_RE = re.compile(r"%([\w.\-]+)")
+_SHAPE_RE = re.compile(r"=\s*\(?([a-z0-9]+)\[([\d,]*)\]")
+
+
+def _parse_instr(line: str):
+    """Parse one optimized-HLO instruction line into (name, op, operand
+    names). Tolerates tuple-typed results (parenthesized types before the
+    opcode). Returns None for non-instruction lines."""
+    s = line.strip()
+    if s.startswith("ROOT "):
+        s = s[5:]
+    if not s.startswith("%") or " = " not in s:
+        return None
+    name, rest = s.split(" = ", 1)
+    name = name.lstrip("%").strip()
+    rest = rest.strip()
+    if rest.startswith("("):                 # tuple type: skip balanced parens
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += ch == "(";  depth -= ch == ")"
+            if depth == 0:
+                rest = rest[i + 1:].strip()
+                break
+    # rest now "type op(operands), attrs" or "op(operands), attrs"
+    par = rest.find("(")
+    if par < 0:
+        return None
+    op = rest[:par].split()[-1]
+    depth, end = 0, par
+    for i in range(par, len(rest)):
+        depth += rest[i] == "(";  depth -= rest[i] == ")"
+        if depth == 0:
+            end = i
+            break
+    operands = _OPERAND_RE.findall(rest[par + 1: end])
+    return name, op, operands
+_HEAVY_OPS = {"dot", "while", "convolution", "all-reduce", "all-gather",
+              "reduce-scatter", "all-to-all", "scatter", "sort"}
+
+
+def _parse_computations(hlo_text: str) -> dict[str, list[dict]]:
+    """Split optimized HLO text into computations -> instruction lists
+    (name, op, operands, heavy flag, byte size)."""
+    comps: dict[str, list[dict]] = {}
+    cur = None
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if s.endswith("{") and ("->" in s or s.startswith("ENTRY")):
+            m = _OPERAND_RE.search(s) or re.search(r"ENTRY\s+([\w.\-%]+)", s)
+            cur = m.group(1).lstrip("%") if m else "anon"
+            comps[cur] = []
+            continue
+        if s == "}":
+            cur = None
+            continue
+        if cur is None:
+            continue
+        parsed = _parse_instr(line)
+        if parsed is None:
+            continue
+        name, op, operands = parsed
+        heavy = (op in _HEAVY_OPS
+                 or (op == "custom-call" and "fft" in line.lower()))
+        sm = _SHAPE_RE.search(line)
+        nbytes = 0
+        if sm and sm.group(2):
+            try:
+                n_elem = int(np.prod([int(d) for d in
+                                      sm.group(2).split(",") if d]))
+                width = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "c64": 8,
+                         "bf16": 2, "f16": 2, "s8": 1, "u8": 1,
+                         "pred": 1}.get(sm.group(1), 4)
+                nbytes = n_elem * width
+            except ValueError:
+                pass
+        comps[cur].append({
+            "name": name, "op": op, "nbytes": nbytes, "heavy": heavy,
+            "operands": operands,
+        })
+    return comps
+
+
+def audit_overlap_structure(jitted_or_text, *args) -> dict:
+    """Machine-check, from the compiled HLO, that the double-buffered halo
+    exchange of time_sharded_receive_stream is overlappable with the decode:
+    inside the scan's while body, the LARGEST collective-permute must have
+    (a) no heavy compute (dot/while/fft/...) in its transitive operand
+    chain — the transfer does not wait on the decode — and (b) no heavy
+    compute among its transitive users — the decode does not wait on the
+    transfer (its result is consumed only by the next iteration's carry).
+    Together these prove the schedule is free to run the collective under
+    the decode; on TPU the async collective-permute + latency-hiding
+    scheduler does exactly that (the CPU backend lowers collectives
+    synchronously, so this structural property — not a CPU timing — is the
+    checkable artifact in this environment).
+
+    Returns {"overlap_compiled": bool, "halo_permute_bytes", "body_heavy_ops",
+    "permutes_in_body", "blocking_upstream", "blocking_downstream"}.
+    """
+    if isinstance(jitted_or_text, str):
+        txt = jitted_or_text
+    else:
+        txt = jitted_or_text.lower(*args).compile().as_text()
+    comps = _parse_computations(txt)
+    # the scan body: the computation holding collective-permutes AND heavy ops
+    best = None
+    for cname, instrs in comps.items():
+        perms = [i for i in instrs if i["op"] == "collective-permute"]
+        heavy = [i for i in instrs if i["heavy"]]
+        if perms and heavy:
+            if best is None or len(heavy) > best[2]:
+                best = (cname, instrs, len(heavy))
+    if best is None:
+        return {"overlap_compiled": False, "reason": "no while body with "
+                "both collective-permutes and heavy compute found"}
+    cname, instrs, n_heavy = best
+    by_name = {i["name"]: i for i in instrs}
+    producers = by_name
+    users: dict[str, list[str]] = {i["name"]: [] for i in instrs}
+    for i in instrs:
+        for op_name in i["operands"]:
+            if op_name in users:
+                users[op_name].append(i["name"])
+
+    def transitive(start: str, edges) -> set[str]:
+        seen, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            for m in edges(n):
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        return seen
+
+    perms = sorted((i for i in instrs if i["op"] == "collective-permute"),
+                   key=lambda i: -i["nbytes"])
+    halo = perms[0]
+    up = transitive(halo["name"],
+                    lambda n: (producers[n]["operands"]
+                               if n in producers else []))
+    down = transitive(halo["name"], lambda n: users.get(n, []))
+    up_heavy = [n for n in up if n in by_name and by_name[n]["heavy"]]
+    down_heavy = [n for n in down if n in by_name and by_name[n]["heavy"]]
+    return {
+        "overlap_compiled": not up_heavy and not down_heavy,
+        "body": cname,
+        "halo_permute_bytes": halo["nbytes"],
+        "permutes_in_body": len(perms),
+        "body_heavy_ops": n_heavy,
+        "blocking_upstream": up_heavy,
+        "blocking_downstream": down_heavy,
+    }
+
+
 def collective_account(geom, active_nsymb: int | None = None,
                        n_local: int | None = None) -> dict:
     """Analytic inter-device communication per shard mode, from the static
