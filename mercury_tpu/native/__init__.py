@@ -3,5 +3,5 @@ shared-memory payload IPC. The library auto-builds on first import if the
 shared object is missing (g++, no external deps)."""
 
 from mercury_tpu.native.runtime import (  # noqa: F401
-    SampleRing, SlidingWindow, ShmPayloadRing, ensure_built,
+    SampleRing, SlidingWindow, ShmPayloadRing, WindowPool, ensure_built,
 )

@@ -52,6 +52,27 @@ def _lib() -> ctypes.CDLL:
         lib.rt_window_ready.argtypes = [ctypes.c_void_p]
         lib.rt_window_clear.argtypes = [ctypes.c_void_p]
 
+        lib.rt_pool_create.restype = ctypes.c_void_p
+        lib.rt_pool_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t,
+                                       ctypes.c_size_t]
+        lib.rt_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.rt_pool_feed.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                     ctypes.c_void_p, ctypes.c_size_t]
+        lib.rt_pool_feed_block.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_size_t]
+        lib.rt_pool_arm.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                    ctypes.c_int]
+        lib.rt_pool_arm_many.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p, ctypes.c_size_t]
+        lib.rt_pool_ready_count.restype = ctypes.c_long
+        lib.rt_pool_ready_count.argtypes = [ctypes.c_void_p]
+        lib.rt_pool_gather_ready.restype = ctypes.c_long
+        lib.rt_pool_gather_ready.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                             ctypes.c_void_p, ctypes.c_size_t]
+        lib.rt_pool_nunder.restype = ctypes.c_int
+        lib.rt_pool_nunder.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+        lib.rt_pool_clear.argtypes = [ctypes.c_void_p]
+
         lib.rt_shm_open.restype = ctypes.c_void_p
         lib.rt_shm_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
         lib.rt_shm_close.argtypes = [ctypes.c_void_p]
@@ -130,6 +151,66 @@ class SlidingWindow:
     def __del__(self):
         if getattr(self, "_h", None):
             _lib().rt_window_destroy(self._h)
+            self._h = None
+
+
+class WindowPool:
+    """Vectorized many-channel sliding-window pool (native; the serving-
+    scale form of SlidingWindow — one contiguous [n_ch, window_len]
+    circular store with bulk feed and single-call gather of every ready
+    channel into contiguous rows for one batched device dispatch)."""
+
+    def __init__(self, n_channels: int, window_len: int, symbol_len: int):
+        self.n_channels = n_channels
+        self.window_len = window_len
+        self.symbol_len = symbol_len
+        self._h = _lib().rt_pool_create(n_channels, window_len, symbol_len)
+        if not self._h:
+            raise MemoryError("rt_pool_create failed (window_len must be a "
+                              "multiple of symbol_len)")
+
+    def feed(self, channel: int, samples: np.ndarray) -> None:
+        s = np.ascontiguousarray(samples, dtype=np.float32)
+        _lib().rt_pool_feed(self._h, channel, s.ctypes.data, len(s))
+
+    def feed_block(self, block: np.ndarray) -> None:
+        """Feed all channels from one [n_channels, n] block in ONE call."""
+        b = np.ascontiguousarray(block, dtype=np.float32)
+        assert b.ndim == 2 and b.shape[0] == self.n_channels
+        _lib().rt_pool_feed_block(self._h, b.ctypes.data, b.shape[1])
+
+    def arm(self, channel: int, frames_to_read: int) -> None:
+        _lib().rt_pool_arm(self._h, channel, frames_to_read)
+
+    def arm_many(self, channels: np.ndarray, frames: np.ndarray) -> None:
+        c = np.ascontiguousarray(channels, dtype=np.int32)
+        f = np.ascontiguousarray(frames, dtype=np.int32)
+        _lib().rt_pool_arm_many(self._h, c.ctypes.data, f.ctypes.data, len(c))
+
+    @property
+    def ready_count(self) -> int:
+        return _lib().rt_pool_ready_count(self._h)
+
+    def gather_ready(self, max_rows: int | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """(rows [R, window_len] float32, channel_ids [R] int32) for every
+        ready channel, linearized in one native pass."""
+        cap = self.n_channels if max_rows is None else max_rows
+        out = np.empty((cap, self.window_len), np.float32)
+        idx = np.empty(cap, np.int32)
+        r = _lib().rt_pool_gather_ready(self._h, out.ctypes.data,
+                                        idx.ctypes.data, cap)
+        return out[:r], idx[:r]
+
+    def n_under(self, channel: int) -> int:
+        return _lib().rt_pool_nunder(self._h, channel)
+
+    def clear(self) -> None:
+        _lib().rt_pool_clear(self._h)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib().rt_pool_destroy(self._h)
             self._h = None
 
 

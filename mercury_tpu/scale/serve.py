@@ -6,16 +6,26 @@ runtime object that actually aggregates independent capture streams into
 batched receive calls — per-channel dispatch would burn the ~2.6 ms
 dispatch floor per channel and cap a chip at a few hundred channels.
 
-StreamPool owns N per-channel sliding windows (the native C++ window,
-reference audioio.c:999-1069 protocol) and, on each step, decodes EVERY
-armed channel in ONE jitted batched receive. Per-channel anti-re-decode
-arming follows the reference's frames_to_read arithmetic
+StreamPool owns a native [n_channels, window_len] circular window pool
+(native/runtime.cc rt_pool — the vectorized form of the reference's
+capture-prep protocol, audioio.c:999-1069): feeding is bulk memcpy into
+per-channel rings (no per-symbol Python loop, no memmove shifting), and
+each step linearizes EVERY ready channel into contiguous rows in one
+native pass, then decodes them in ONE jitted batched receive. Per-channel
+anti-re-decode arming follows the reference's frames_to_read arithmetic
 (arq_common.cc:2690-2730).
 
-    pool = StreamPool(build_geometry(9), n_channels=256)
+Batch shapes are bucketed to powers of two so the number of distinct
+compiled programs is log2(n_channels), not one per ready-count.
+
+    pool = StreamPool(build_geometry(9), n_channels=1024)
     pool.feed(ch, chunk)            # any chunk size, per channel
+    pool.feed_block(chunk_block)    # or all channels at once, one call
     for ch, res in pool.step():     # one batched dispatch for all ready
         if res.crc_ok: ...
+
+Measured end-to-end (feed -> gather -> H2D -> decode -> D2H -> arm):
+tools/serve_bench.py -> docs/serve_r4.json.
 """
 
 from __future__ import annotations
@@ -24,12 +34,12 @@ import numpy as np
 
 from mercury_tpu.core.geometry import ModeGeometry
 from mercury_tpu.modem.rx import RxChain, RxResult
-from mercury_tpu.native import SlidingWindow
+from mercury_tpu.native import WindowPool
 
 
 class StreamPool:
     def __init__(self, geom: ModeGeometry, n_channels: int,
-                 rx: RxChain | None = None):
+                 rx: RxChain | None = None, idle_rearm: int = 4):
         self.geom = geom
         self.rx = rx or RxChain(geom)
         g = geom
@@ -37,50 +47,63 @@ class StreamPool:
         self.sym_len = g.nofdm * g.interp
         self.frame_syms = g.nsymb + g.preamble_nsymb
         self.n_channels = n_channels
-        self.windows = [SlidingWindow(self.buf_len, self.sym_len)
-                        for _ in range(n_channels)]
-        for w in self.windows:
-            w.arm(g.buffer_nsymb)
-        self._residual = [np.zeros(0, np.float32) for _ in range(n_channels)]
+        self.idle_rearm = idle_rearm
+        self.pool = WindowPool(n_channels, self.buf_len, self.sym_len)
+        arm0 = np.full(n_channels, g.buffer_nsymb, np.int32)
+        self.pool.arm_many(np.arange(n_channels, dtype=np.int32), arm0)
         self.frames_decoded = 0
         self.batched_dispatches = 0
+        self.rows_dispatched = 0
 
     def feed(self, channel: int, samples: np.ndarray) -> None:
-        """Push capture audio for one channel (any chunk size); whole
-        symbols go into the sliding window, a sub-symbol tail is held."""
-        r = np.concatenate([self._residual[channel],
-                            np.asarray(samples, np.float32)])
-        n_full = len(r) // self.sym_len * self.sym_len
-        chunk, self._residual[channel] = r[:n_full], r[n_full:]
-        w = self.windows[channel]
-        for pos in range(0, len(chunk), self.sym_len):
-            w.push(chunk[pos: pos + self.sym_len])
+        """Push capture audio for one channel (any chunk size; partial
+        symbols are staged natively until a full symbol accumulates)."""
+        self.pool.feed(channel, samples)
+
+    def feed_block(self, block: np.ndarray) -> None:
+        """Push one [n_channels, n] block of capture audio — a single
+        native call for the whole pool tick."""
+        self.pool.feed_block(block)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
 
     def step(self) -> list[tuple[int, RxResult]]:
         """Decode every channel whose window countdown elapsed, in ONE
-        batched receive dispatch. Returns (channel, single-row RxResult)
-        pairs for channels that decoded a frame; non-decoding ready
-        channels are re-armed a few symbols ahead."""
-        ready = [c for c in range(self.n_channels) if self.windows[c].ready]
-        if not ready:
+        batched receive dispatch (rows padded to a power-of-two bucket so
+        compiled batch shapes are bounded). Returns (channel, single-row
+        RxResult) pairs for channels that decoded a frame; non-decoding
+        ready channels are re-armed a few symbols ahead."""
+        rows, chans = self.pool.gather_ready()
+        r = len(chans)
+        if r == 0:
             return []
-        rows = np.stack([self.windows[c].snapshot()[0] for c in ready])
+        bucket = min(self._bucket(r), self.n_channels)
+        if bucket > r:
+            rows = np.concatenate(
+                [rows, np.zeros((bucket - r, self.buf_len), np.float32)])
         res = self.rx.receive(rows)
         self.batched_dispatches += 1
-        ok = np.asarray(res.crc_ok)
-        delays = np.asarray(res.delay)
+        self.rows_dispatched += r
+        ok = np.asarray(res.crc_ok)[:r]
+        delays = np.asarray(res.delay)[:r]
+        fields = tuple(np.asarray(x) for x in
+                       (res.payload, res.crc_ok, res.delay, res.freq_offset,
+                        res.snr_db, res.iters, res.sync_metric, res.mean_h))
         out: list[tuple[int, RxResult]] = []
-        for i, c in enumerate(ready):
+        rearm = np.empty(r, np.int32)
+        for i in range(r):
             if ok[i]:
-                row = RxResult(*(np.asarray(x)[i: i + 1]
-                                 for x in (res.payload, res.crc_ok,
-                                           res.delay, res.freq_offset,
-                                           res.snr_db, res.iters,
-                                           res.sync_metric, res.mean_h)))
-                out.append((c, row))
-                self.frames_decoded += 1
-                consumed = (int(delays[i]) // self.sym_len) + self.frame_syms
-                self.windows[c].arm(max(consumed, 1))
+                out.append((int(chans[i]),
+                            RxResult(*(f[i: i + 1] for f in fields))))
+                rearm[i] = max(int(delays[i]) // self.sym_len
+                               + self.frame_syms, 1)
             else:
-                self.windows[c].arm(4)
+                rearm[i] = self.idle_rearm
+        self.frames_decoded += len(out)
+        self.pool.arm_many(chans, rearm)
         return out

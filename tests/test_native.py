@@ -61,6 +61,68 @@ def test_sliding_window_protocol():
     assert w.n_under == 1
 
 
+def test_window_pool_matches_sliding_window():
+    """WindowPool (vectorized rt_pool) reproduces SlidingWindow semantics
+    per channel: countdown per committed symbol, ready latch, n_under on
+    extra shifts, linearized gather content identical to the scalar
+    window's snapshot — including partial-symbol staging across feeds."""
+    from mercury_tpu.native import WindowPool
+
+    sym, nsym, n_ch = 16, 8, 5
+    pool = WindowPool(n_ch, window_len=nsym * sym, symbol_len=sym)
+    refs = [SlidingWindow(window_len=nsym * sym, symbol_len=sym)
+            for _ in range(n_ch)]
+    rng = np.random.default_rng(3)
+    pool.arm_many(np.arange(n_ch, dtype=np.int32),
+                  np.full(n_ch, 3, np.int32))
+    for r in refs:
+        r.arm(3)
+    # ragged feeds with non-symbol-aligned chunk sizes
+    for c in range(n_ch):
+        total = 3 * sym + (7 * c) % sym          # channel c: partial tail
+        data = rng.standard_normal(total).astype(np.float32)
+        pos = 0
+        for chunk in (total // 3, total // 3, total - 2 * (total // 3)):
+            pool.feed(c, data[pos: pos + chunk])
+            refs[c].push(data[pos: pos + chunk])
+            pos += chunk
+    assert pool.ready_count == n_ch
+    rows, ids = pool.gather_ready()
+    assert sorted(ids.tolist()) == list(range(n_ch))
+    for r_i, c in enumerate(ids):
+        snap, ready = refs[c].snapshot()
+        assert ready
+        np.testing.assert_array_equal(rows[r_i], snap)
+    # extra commits while ready -> n_under, matching the scalar window
+    pool.feed(0, np.zeros(2 * sym, np.float32))
+    refs[0].push(np.zeros(2 * sym, np.float32))
+    assert pool.n_under(0) == refs[0].n_under == 2
+    # re-arm clears ready
+    pool.arm(0, 2)
+    assert pool.ready_count == n_ch - 1
+
+
+def test_window_pool_feed_block():
+    """feed_block feeds every channel its row of one [C, n] block in a
+    single native call, equivalent to per-channel feeds."""
+    from mercury_tpu.native import WindowPool
+
+    sym, nsym, n_ch = 32, 4, 3
+    a = WindowPool(n_ch, nsym * sym, sym)
+    b = WindowPool(n_ch, nsym * sym, sym)
+    rng = np.random.default_rng(4)
+    a.arm_many(np.arange(n_ch, dtype=np.int32), np.full(n_ch, 2, np.int32))
+    b.arm_many(np.arange(n_ch, dtype=np.int32), np.full(n_ch, 2, np.int32))
+    blk = rng.standard_normal((n_ch, 2 * sym + 5)).astype(np.float32)
+    a.feed_block(blk)
+    for c in range(n_ch):
+        b.feed(c, blk[c])
+    ra, ia = a.gather_ready()
+    rb, ib = b.gather_ready()
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(ra, rb)
+
+
 def test_shm_ipc_roundtrip():
     a = ShmPayloadRing("/mtpu-test", 4096, create=True)
     try:

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""End-to-end StreamPool serving benchmark (VERDICT r3 item 3).
+
+Measures the SERVING runtime, not the kernel: wall-clock over full pool
+rounds — native feed (bulk memcpy into per-channel rings) -> native gather
+of every ready channel into contiguous rows -> H2D -> ONE batched jitted
+receive -> D2H -> anti-re-decode arming — at channel counts up to >=1024,
+against the kernel-only rate for the same batch shape (difference-of-chains
+timing, the relay-artifact-proof methodology of bench.py).
+
+Steady state is lockstep: every channel carries one frame per round at the
+same offset, so after the priming round each round re-arms every channel
+identically and each step decodes all of them in one dispatch.
+
+Writes docs/serve_r4.json:
+  per n_ch: pool_msamples_per_s (ingest), frames_per_s, crc fraction,
+  realtime_channels (ingest/48k), kernel_msamples_per_s (same batch),
+  pool_vs_kernel ratio, host-stage timing decomposition.
+
+Usage: python tools/serve_bench.py [--channels 64 256 1024] [--rounds 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CFG = 9
+
+
+def bench_pool(n_ch: int, rounds: int, log) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mercury_tpu.core.geometry import build_geometry
+    from mercury_tpu.modem.tx import TxChain
+    from mercury_tpu.scale.serve import StreamPool
+
+    g = build_geometry(CFG)
+    tx = TxChain(g)
+    pool = StreamPool(g, n_ch)
+    sym = pool.sym_len
+    frame_syms = pool.frame_syms
+    buf_syms = g.buffer_nsymb
+    rng = np.random.default_rng(100 + n_ch)
+
+    payload = rng.integers(0, 256, (n_ch, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payload), np.float32)   # [n_ch, flen]
+    flen = frames.shape[1]
+
+    # Lockstep geometry: with full-chunk feeding the window advances one
+    # chunk per round, so frame positions in the window are stationary at
+    # d = buf_syms - chunk_syms + lead_syms, and one frame decodes per
+    # round iff the re-arm (d + frame_syms) fits in one chunk:
+    # chunk >= (buf + frame + lead)/2, and frames must not overlap
+    # (chunk >= frame + lead + 2).
+    lead_syms = 2
+    chunk_syms = max(frame_syms + lead_syms + 2,
+                     -(-(buf_syms + frame_syms + lead_syms) // 2))
+    chunk = chunk_syms * sym
+    base_noise = (2e-3 * rng.standard_normal((n_ch, chunk))
+                  ).astype(np.float32)
+
+    def round_block(r: int) -> np.ndarray:
+        blk = base_noise + np.float32(r * 1e-6)  # content-unique per round
+        blk[:, lead_syms * sym: lead_syms * sym + flen] += frames
+        return blk
+
+    # priming: fill the windows (armed buffer_nsymb at construction); the
+    # first chunk's frame lands at the stationary position
+    t_prime = time.perf_counter()
+    pool.feed_block(np.zeros((n_ch, max(buf_syms - chunk_syms, 0) * sym),
+                             np.float32))
+    pool.feed_block(round_block(0))
+    prime_res = pool.step()                      # compile + first decode
+    t_prime = time.perf_counter() - t_prime
+    log(f"  priming: {len(prime_res)}/{n_ch} decoded "
+        f"({t_prime:.1f}s incl. compile)")
+
+    # lockstep steady state
+    decoded = 0
+    rows0 = pool.rows_dispatched
+    t_feed = t_step = 0.0
+    t0 = time.perf_counter()
+    for r in range(1, rounds + 1):
+        tf = time.perf_counter()
+        pool.feed_block(round_block(r))
+        t_feed += time.perf_counter() - tf
+        ts = time.perf_counter()
+        out = pool.step()
+        t_step += time.perf_counter() - ts
+        decoded += len(out)
+    wall = time.perf_counter() - t0
+    ingest = n_ch * chunk * rounds
+    rows = pool.rows_dispatched - rows0
+    # two rates: ingest (what a real-time deployment must sustain per
+    # channel) and processed (window samples through the full RX program —
+    # the kernel-comparable number: rows x buf_len / wall)
+    return {
+        "n_channels": n_ch,
+        "rounds": rounds,
+        "chunk_samples_per_channel": chunk,
+        "pool_ingest_msamples_per_s": round(ingest / wall / 1e6, 2),
+        "pool_processed_msamples_per_s": round(
+            rows * pool.buf_len / wall / 1e6, 2),
+        "frames_per_s": round(decoded / wall, 1),
+        "decoded_per_fed_frame": round(decoded / (n_ch * rounds), 4),
+        "realtime_channels": int(ingest / wall / 48000),
+        "host_feed_s_per_round": round(t_feed / rounds, 4),
+        "dispatch_s_per_round": round(t_step / rounds, 4),
+        "buf_len": pool.buf_len,
+    }
+
+
+def bench_kernel(n_ch: int, log) -> dict:
+    """Kernel-only rate at the same batch shape (difference-of-chains with
+    D2H barrier — bench.py methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mercury_tpu.channel import sim
+    from mercury_tpu.core.geometry import build_geometry
+    from mercury_tpu.modem.rx import RxChain
+    from mercury_tpu.modem.tx import TxChain
+
+    g = build_geometry(CFG)
+    tx, rx = TxChain(g), RxChain(g)
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, (n_ch, g.frame_bytes)).astype(np.uint8)
+    frames = tx.transmit(payload)
+    buf_len = g.nofdm * g.buffer_nsymb * g.interp
+    delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
+    buf = sim.awgn_passband(jax.random.key(1), frames,
+                            sim.sigma_for_esn0(12.0), delay, buf_len)
+    buf = jnp.asarray(buf, jnp.float32)
+    res = rx.receive(buf)
+    jax.block_until_ready(res.payload)
+
+    seq = [0]
+
+    def chain(n):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            seq[0] += 1
+            r = rx.receive(buf + jnp.float32(seq[0] * 1e-7))
+        np.asarray(r.payload[:1, :4])
+        return time.perf_counter() - t0
+
+    chain(1)
+    reps = 4
+    dt = max(chain(2 * reps) - chain(reps), 1e-9)
+    sps = n_ch * buf_len * reps / dt
+    return {"kernel_msamples_per_s": round(sps / 1e6, 2)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, nargs="*",
+                    default=[64, 256, 1024])
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--out", default="docs/serve_r4.json")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+
+    def log(m):
+        print(m, flush=True)
+
+    out = {"meta": {"platform": platform, "config": CFG,
+                    "rounds": args.rounds,
+                    "method": "lockstep rounds: feed_block -> gather -> H2D "
+                              "-> batched receive -> D2H -> arm_many; "
+                              "kernel row: difference-of-chains + D2H "
+                              "barrier on the same batch shape"},
+           "results": []}
+    for n_ch in args.channels:
+        log(f"=== {n_ch} channels ===")
+        row = bench_pool(n_ch, args.rounds, log)
+        row.update(bench_kernel(n_ch, log))
+        row["pool_vs_kernel"] = round(
+            row["pool_processed_msamples_per_s"]
+            / row["kernel_msamples_per_s"], 3)
+        out["results"].append(row)
+        log(json.dumps(row))
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    log(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
