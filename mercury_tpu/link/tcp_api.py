@@ -207,6 +207,15 @@ class ArqTcpServer:
                     self._reply("OK")
                 else:
                     self._reply("WRONG")
+        elif command in ("TUNE ON", "TUNE OFF"):
+            # antenna-tuning tone (reference GUI tune button ->
+            # audioio.c:589-594); acts on an audio-backed transport
+            if self.transport is not None and hasattr(self.transport,
+                                                      "set_tune"):
+                self.transport.set_tune(command.endswith("ON"))
+                self._reply("OK")
+            else:
+                self._reply("WRONG")
         elif command in ("GEARSHIFT ON", "GEARSHIFT OFF"):
             import dataclasses as _dc
             node.cfg = _dc.replace(node.cfg,

@@ -60,6 +60,7 @@ class RxChain:
     def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
                  ctrl: bool = False, cfo_range: str = "wide",
                  deep_sync: bool | None = None, ldpc_algo: str = "spa",
+                 deep_profile: str = "c2f",
                  dd: bool | None = None,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50):
@@ -81,6 +82,25 @@ class RxChain:
             # cheaper coarse search (CONFIG_0-4 thresholds: -10..-3.5 dB)
             deep_sync = (not geom.spec.is_mfsk) and geom.spec.config <= 4
         self.deep_sync = bool(deep_sync)
+        if deep_profile not in ("c2f", "full"):
+            raise ValueError("deep_profile must be 'c2f' or 'full'")
+        # "c2f" (default): coarse-to-fine acquisition — whole-buffer scan at
+        # 2x extra decimation with a 30 Hz CFO grid nominates top-N
+        # (delay, CFO) candidates that re-score in the per-candidate
+        # matched-filter refinement at full MF resolution with +-15 Hz
+        # offsets (round-4 deep-sync-tax work; ~4x less scan compute than
+        # "full"). "full": round-3 behavior — whole buffer at MF resolution
+        # over the complete 15 Hz grid, every hypothesis entering final
+        # arbitration directly. FER parity at threshold verified in
+        # docs/deep_c2f_r4.md.
+        self.deep_profile = deep_profile
+        # c2f tuning knobs (validated in docs/deep_c2f_r4.md): coarse-scan
+        # extra time decimation, coarse CFO grid spacing (Hz), and how many
+        # top (delay, CFO) rows the refine stage re-scores
+        self._c2f_decim = 1
+        self._c2f_grid_hz = 30.0
+        self._c2f_topn = 4
+        self._c2f_lp = None           # preamble symbols in the scan (None=all)
         if ldpc_algo not in ("spa", "minsum", "layered", "layered-minsum"):
             raise ValueError("ldpc_algo must be 'spa', 'minsum', 'layered' "
                              "or 'layered-minsum'")
@@ -911,6 +931,52 @@ class RxChain:
             tmpl_d = np.ascontiguousarray(self._mf_templates[:, ::mf_d])
             alias = g.fs / ((g.nfft // 2) * g.interp)   # host-constant Hz
 
+            # Coarse-to-fine deep acquisition (round 4): the round-3 deep
+            # path scanned the WHOLE buffer at MF resolution over the full
+            # 15 Hz CFO grid (the single most expensive stage in the
+            # CONFIG_0-4 profile, docs/roofline_r3.json). The scan only
+            # needs to NOMINATE the true start among the top few
+            # candidates, not resolve it: scan at 2x extra decimation with
+            # a 30 Hz grid (~4x less correlation work), take the top-N
+            # (delay, CFO) rows, and let them re-score in the same
+            # per-candidate refinement as the SC candidates — at full MF
+            # resolution with +-15 Hz bank offsets, so the refined
+            # hypothesis density matches the old grid exactly.
+            dc = self._c2f_decim
+            deep_c2f = (self.deep_sync and self.deep_profile == "c2f"
+                        and (s_tmpl // mf_d) % dc == 0)
+            if deep_c2f:
+                mf_dc = dc * mf_d
+                s_dc = s_tmpl // mf_dc
+                lp_c = min(self._c2f_lp or lp, lp)
+                tmpl_c = np.ascontiguousarray(
+                    self._mf_templates[:lp_c, ::mf_dc])
+                gs = float(self._c2f_grid_hz)
+                span_c = 120.0 if self.cfo_range == "wide" else 30.0
+                n_hc = int(round(span_c / gs))
+                grid_c = np.arange(-n_hc, n_hc + 1) * gs
+                t_c = np.arange(tmpl_c.shape[-1], dtype=np.float64) * mf_dc
+                bank_c = np.stack([
+                    tmpl_c * np.exp(-1j * (2 * np.pi / g.fs)
+                                    * f_h * t_c)[None]
+                    for f_h in grid_c]).astype(self.np_cdtype)  # [Hc, Lp, Sc]
+                stride_c = dc * mf_s
+                n_gc = n_ts // stride_c
+                win_c = (n_gc - lp_c * s_dc) // 2
+                seg_c = bb_ts[..., : (2 * win_c + lp_c * s_dc) * stride_c
+                              : stride_c]
+                delay_c, score_c = sync.matched_filter_refine_bank(
+                    seg_c, jnp.zeros(b, jnp.int32), bank_c, win_c,
+                    use_mm=False)                               # [B, Hc]
+                n_deep = min(self._c2f_topn, score_c.shape[-1])
+                _, top_i = jax.lax.top_k(score_c, n_deep)       # [B, N]
+                d_top = (jnp.take_along_axis(delay_c, top_i, axis=-1)
+                         * mf_dc)                               # interp samp
+                cfo_top = jnp.asarray(grid_c, self.real_dtype)[top_i]
+                for n in range(n_deep):
+                    cand_list.append(d_top[:, n].astype(jnp.int32))
+                    cfo_list.append(cfo_top[:, n])
+
             def slice_one(row, st_ts):
                 return jax.lax.dynamic_slice(row, (st_ts,),
                                              (seg_d_len * mf_s,))
@@ -924,13 +990,20 @@ class RxChain:
                 alias_offsets = (0.0, float(alias), -float(alias))
             else:
                 alias_offsets = (0.0,)
+            if deep_c2f and float(self._c2f_grid_hz) > 15.0:
+                # a coarse grid wider than 15 Hz leaves >7.5 Hz residual;
+                # +-grid/2 bank offsets restore the old 15 Hz hypothesis
+                # density at refine time
+                half = float(self._c2f_grid_hz) / 2.0
+                alias_offsets = alias_offsets + (half, -half)
             t_tmpl = np.arange(tmpl_d.shape[-1], dtype=np.float64) * mf_d
             tmpl_bank = np.stack([
                 tmpl_d * np.exp(-1j * (2 * np.pi / g.fs) * f_a * t_tmpl)[None]
                 for f_a in alias_offsets]).astype(self.np_cdtype)  # [A, Lp, S]
 
             seg_rows, start_rows, cfo_rows = [], [], []
-            for k in range(n_k):
+            n_cand_tot = len(cand_list)
+            for k in range(n_cand_tot):
                 coarse = cand_list[k]
                 coarse_cfo_k = cfo_list[k]
                 # segment start in interp samples, aligned to the MF grid
@@ -952,14 +1025,15 @@ class RxChain:
             delay_f, score_f = sync.matched_filter_refine_bank(
                 seg_all, start_all, tmpl_bank, win_d)            # [K*B, A]
             n_alias = len(alias_offsets)
-            n_rows = n_k * n_alias
+            n_rows = n_cand_tot * n_alias
             # [K*B, A] -> [K, B, A] -> [K, A, B] -> [K*A, B]
-            delays = (jnp.swapaxes(delay_f.reshape(n_k, b, n_alias), 1, 2)
+            delays = (jnp.swapaxes(delay_f.reshape(n_cand_tot, b, n_alias),
+                                   1, 2)
                       .reshape(n_rows, b) * mf_d)               # [K*A, B]
-            scores = jnp.swapaxes(score_f.reshape(n_k, b, n_alias),
+            scores = jnp.swapaxes(score_f.reshape(n_cand_tot, b, n_alias),
                                   1, 2).reshape(n_rows, b)
             cfos = jnp.concatenate(cfo_rows, axis=0)
-            if self.deep_sync:
+            if self.deep_sync and not deep_c2f:
                 # Global known-preamble acquisition (deep sync): below ~-3 dB
                 # effective Es/N0 the blind SC autocorrelation loses SNR
                 # quadratically (noise x noise lag products) and the true

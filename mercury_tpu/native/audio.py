@@ -340,11 +340,18 @@ class AudioIO:
     def __init__(self, playback_dev, capture_dev, symbol_len: int,
                  window_nsymb: int, tx_gain_db: float = 0.0,
                  rx_gain_db: float = 0.0, block: int = 2048,
-                 ring_capacity: int = 48000 * 30, use_window: bool = True):
+                 ring_capacity: int = 48000 * 30, use_window: bool = True,
+                 fs: int = 48000):
         self.playback_dev, self.capture_dev = playback_dev, capture_dev
         self.symbol_len, self.block = symbol_len, block
+        self.fs = fs
         self.tx_gain = 10 ** (tx_gain_db / 20.0)
         self.rx_gain = 10 ** (rx_gain_db / 20.0)
+        # antenna-tune tone (reference audioio.c:589-594 +
+        # gui_state.h:242-247: 1500 Hz sine at 0.9 amplitude replaces the
+        # playback stream while active; TX gain still applies)
+        self.tune_active = False
+        self._tune_idx = 0
         self.playback_buffer = SampleRing(ring_capacity)
         self.capture_buffer = SampleRing(ring_capacity)
         # window mode: the capture-prep thread consumes the capture ring
@@ -384,9 +391,27 @@ class AudioIO:
     def rx_window(self) -> tuple[np.ndarray, bool]:
         return self.window.snapshot()
 
+    def set_tune(self, on: bool) -> None:
+        """Toggle the 1500 Hz antenna-tuning tone (reference GUI tune
+        button -> audioio.c:589-594)."""
+        if on and not self.tune_active:
+            self._tune_idx = 0
+        self.tune_active = bool(on)
+
     # -- threads ---------------------------------------------------------
     def _playback_thread(self) -> None:
+        tune_w = 2.0 * np.pi * 1500.0 / self.fs
         while not self._stop.is_set():
+            if self.tune_active:
+                # tone replaces the stream; keep draining the ring so queued
+                # TX doesn't burst out when tuning ends (reference overwrites
+                # the read buffer the same way)
+                self.playback_buffer.read(self.block, timeout_ms=0)
+                idx = self._tune_idx + np.arange(self.block)
+                tone = (0.9 * np.sin(tune_w * idx)).astype(np.float32)
+                self._tune_idx += self.block
+                self.playback_dev.write(tone * self.tx_gain)
+                continue
             chunk = self.playback_buffer.read(self.block, timeout_ms=100)
             if len(chunk):
                 self.playback_dev.write(chunk)
@@ -443,6 +468,9 @@ class AudioBurstTransport:
 
     def transmit(self, block: np.ndarray) -> None:
         self.io.tx_transfer(block)
+
+    def set_tune(self, on: bool) -> None:
+        self.io.set_tune(on)
 
     def capture(self):
         chunk = self.io.drain_capture()

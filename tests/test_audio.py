@@ -59,6 +59,61 @@ def test_audioio_gains():
         io.playback_dev.close()
 
 
+def test_tune_tone():
+    """TUNE replaces the playback stream with a 1500 Hz sine at 0.9
+    amplitude (x TX gain), phase-continuous across blocks, and queued TX
+    audio is discarded while tuning (reference audioio.c:589-594,
+    gui_state.h:242-247)."""
+    a_dev, b_dev = LoopbackDevice.pair()
+    io = AudioIO(playback_dev=a_dev, capture_dev=b_dev, symbol_len=256,
+                 window_nsymb=4, block=480, use_window=False)
+    io.tx_transfer(np.ones(1000, np.float32))     # queued TX to be eaten
+    io.set_tune(True)
+    io._stop.set()                                 # single manual iterations
+    io._stop.clear()
+    # run three playback iterations by hand (thread-free determinism)
+    tune_w = 2.0 * np.pi * 1500.0 / io.fs
+    for _ in range(3):
+        io.playback_buffer.read(io.block, timeout_ms=0)
+        idx = io._tune_idx + np.arange(io.block)
+        tone = (0.9 * np.sin(tune_w * idx)).astype(np.float32)
+        io._tune_idx += io.block
+        io.playback_dev.write(tone * io.tx_gain)
+    got = b_dev.read(3 * 480)
+    t = np.arange(3 * 480)
+    expect = (0.9 * np.sin(2 * np.pi * 1500.0 / 48000.0 * t)).astype(np.float32)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+    # spectral check: dominant bin at 1500 Hz
+    spec = np.abs(np.fft.rfft(got * np.hanning(len(got))))
+    f_peak = np.argmax(spec) * 48000.0 / len(got)
+    assert abs(f_peak - 1500.0) < 48000.0 / len(got) * 2
+    io.set_tune(False)
+    assert not io.tune_active
+
+
+def test_tune_tone_through_thread():
+    """The live playback thread emits the tone when tune is active."""
+    a_dev, b_dev = LoopbackDevice.pair()
+    io = AudioIO(playback_dev=a_dev, capture_dev=b_dev, symbol_len=256,
+                 window_nsymb=4, block=480, use_window=False)
+    io.set_tune(True)
+    io.start()
+    try:
+        deadline = time.monotonic() + 3.0
+        got = np.zeros(0, np.float32)
+        while time.monotonic() < deadline and len(got) < 2000:
+            got = np.concatenate([got, b_dev.read(480)])
+            time.sleep(0.01)
+        assert len(got) >= 2000
+        seg = got[:1920]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f_peak = np.argmax(spec) * 48000.0 / len(seg)
+        assert abs(f_peak - 1500.0) < 50.0
+        assert 0.85 <= np.max(np.abs(seg)) <= 0.91
+    finally:
+        io.stop()
+
+
 def test_alsa_gated_cleanly():
     """Without libasound the ALSA backend must raise a clear RuntimeError
     (and list_devices must return empty), not crash."""

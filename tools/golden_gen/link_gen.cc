@@ -194,6 +194,39 @@ int main(int argc, char **argv) {
     send_and_dump(arq, m, "link_data_short");
   }
 
+  // --- stock gearshift-DOWN SET_CONFIG (success-rate downshift /
+  // post-BREAK ladder drop emit the same 3-byte layout with lower ids,
+  // arq_commander.cc:1059-1129) and a ROBUST-forward instance (the BREAK
+  // coordination phase negotiates at ROBUST_0, arq_commander.cc:42-187)
+  arq.negotiated_configuration = CONFIG_3;
+  arq.reverse_configuration = CONFIG_2;
+  arq.add_message_control(SET_CONFIG);
+  arq.messages_control.sequence_number = 0;
+  send_and_dump(arq, arq.messages_control, "link_set_config_down");
+  arq.messages_control.status = FREE;
+
+  arq.negotiated_configuration = ROBUST_0;
+  arq.reverse_configuration = ROBUST_0;
+  arq.add_message_control(SET_CONFIG);
+  arq.messages_control.sequence_number = 0;
+  send_and_dump(arq, arq.messages_control, "link_set_config_robust");
+  arq.messages_control.status = FREE;
+
+  // --- stock ACK / BREAK tone patterns (the pattern-signaling channel a
+  // stock peer uses for connection/data acks and emergency BREAK,
+  // telecom_system.cc:1589-1709): generated by the REFERENCE's own
+  // generators at the ack config (CONFIG_0, datalink_config.cc), so the
+  // repo's PatternSignaler can prove it detects stock tones
+  {
+    ts.load_configuration(CONFIG_0);
+    static double pat[1 << 20];
+    int n = ts.generate_ack_pattern_passband(pat);
+    dump_f64("link_ack_pattern_passband", pat, n);
+    n = ts.generate_break_pattern_passband(pat);
+    dump_f64("link_break_pattern_passband", pat, n);
+    ts.load_configuration(CONFIG_1);
+  }
+
   // --- responder ACK_MULTI, payload layout arq_responder.cc:523-547:
   // data[0] = nAck, data[1..] = received message ids
   {
