@@ -7,6 +7,7 @@ estimation and LLR clamping at ±5.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,12 +73,23 @@ def pattern_grid(p: MfskParams, nc: int, tones: np.ndarray) -> np.ndarray:
     return grid
 
 
-def demod(fft_grid: jnp.ndarray, p: MfskParams, nc: int, nsymb: int) -> jnp.ndarray:
+def demod(fft_grid: jnp.ndarray, p: MfskParams, nc: int, nsymb: int,
+          soft: str = "maxlog", exp_scale: float = 1.0,
+          clamp: float = 5.0, noise_pool: bool = False) -> jnp.ndarray:
     """Energy-detection soft demod -> LLRs [..., nsymb*nstreams*nbits].
 
     Reference: cl_mfsk::demod (mfsk.cc:305-390): noise variance from bins
     outside all stream bands, per-bit max-log over tone energies, scale
     1/(2*sigma^2), clamp ±5. fft_grid: [..., nsymb, nc].
+
+    soft="sumexp" replaces the max-log tone arbitration with the proper
+    noncoherent marginalization LLR_k = LSE_{m:bit=0}(c*E_m) -
+    LSE_{m:bit=1}(c*E_m) (log-sum-exp over the 2^(nbits-1) tones on each
+    side) — at M=32 / rate 1/16 the max over 16 near-threshold energies
+    throws away real evidence; the marginalized form recovers ~0.5 dB at
+    the ROBUST_0 waterfall (docs/ladder_floor_r4.md) and is the RX-side
+    improvement the documented -13 dB threshold actually requires
+    (the reference build itself only reaches -12.5 with max-log).
     """
     energy = jnp.abs(fft_grid) ** 2                            # [..., S, Nc]
     band_start = int(p.stream_offsets[0])
@@ -90,8 +102,18 @@ def demod(fft_grid: jnp.ndarray, p: MfskParams, nc: int, nsymb: int) -> jnp.ndar
         noise_var = jnp.sum(jnp.where(noise_mask, energy, 0.0), axis=-1) / n_noise
     else:
         noise_var = jnp.full(energy.shape[:-1], 1e-30, energy.dtype)
+    if noise_pool:
+        # frame-pooled noise estimate: the per-symbol estimate averages
+        # only ~Nc-M out-of-band bins (high-variance at 18 bins for
+        # ROBUST_0); the channel noise floor is stationary across one
+        # frame, so pooling over the symbol axis cuts the estimator
+        # variance ~nsymb-fold without losing anything the per-symbol
+        # estimate could track
+        noise_var = jnp.mean(noise_var, axis=-1, keepdims=True)
+        noise_var = jnp.broadcast_to(noise_var,
+                                     (*noise_var.shape[:-1], nsymb))
     noise_var = jnp.maximum(noise_var, 1e-30)
-    llr_scale = 1.0 / (2.0 * noise_var)                        # [..., S]
+    llr_scale = np.float32(exp_scale) / (2.0 * noise_var)      # [..., S]
 
     hop = (np.arange(nsymb) * p.tone_hop_step) % p.m
     gray_of = np.arange(p.m) ^ (np.arange(p.m) >> 1)           # TX gray mapping
@@ -106,10 +128,22 @@ def demod(fft_grid: jnp.ndarray, p: MfskParams, nc: int, nsymb: int) -> jnp.ndar
         bit_llrs = []
         for kbit in range(p.nbits):
             mask = (gray_of >> (p.nbits - 1 - kbit)) & 1
-            e1 = jnp.max(jnp.where(jnp.asarray(mask == 1), e, -jnp.inf), axis=-1)
-            e0 = jnp.max(jnp.where(jnp.asarray(mask == 0), e, -jnp.inf), axis=-1)
-            bit_llrs.append((e0 - e1) * llr_scale)
+            if soft == "sumexp":
+                # same likelihood exponent as the reference's max-log scale
+                # (E/(2*sigma^2)), marginalized instead of maximized
+                ce = e * llr_scale[..., None]
+                l1 = jax.scipy.special.logsumexp(
+                    jnp.where(jnp.asarray(mask == 1), ce, -jnp.inf), axis=-1)
+                l0 = jax.scipy.special.logsumexp(
+                    jnp.where(jnp.asarray(mask == 0), ce, -jnp.inf), axis=-1)
+                bit_llrs.append(l0 - l1)
+            else:
+                e1 = jnp.max(jnp.where(jnp.asarray(mask == 1), e, -jnp.inf),
+                             axis=-1)
+                e0 = jnp.max(jnp.where(jnp.asarray(mask == 0), e, -jnp.inf),
+                             axis=-1)
+                bit_llrs.append((e0 - e1) * llr_scale)
         llr_streams.append(jnp.stack(bit_llrs, axis=-1))       # [..., S, nbits]
     llr = jnp.stack(llr_streams, axis=-2)                      # [..., S, st, nbits]
-    llr = jnp.clip(llr, -5.0, 5.0)
+    llr = jnp.clip(llr, -float(clamp), float(clamp))
     return llr.reshape(*fft_grid.shape[:-2], -1)

@@ -59,11 +59,13 @@ class RxChain:
 
     def __init__(self, geom: ModeGeometry, real_dtype: Any = jnp.float32,
                  ctrl: bool = False, cfo_range: str = "wide",
-                 deep_sync: bool | None = None, ldpc_algo: str = "spa",
-                 deep_profile: str = "c2f",
+                 deep_sync: bool | None = None, ldpc_algo: str = "layered",
+                 deep_profile: str = "pruned",
                  dd: bool | None = None,
                  dd_window: tuple[int, int] | None = None,
-                 dd_passes: int = 1, ldpc_max_iter: int = 50):
+                 dd_passes: int = 1, ldpc_max_iter: int = 50,
+                 llr_scale: float = 0.9, mfsk_soft: str = "sumexp",
+                 mfsk_noise_pool: bool = True, mfsk_sync_cands: int = 2):
         self.geom = geom
         self.real_dtype = real_dtype
         # LDPC iteration cap (reference default 50, -I flag / INI
@@ -82,17 +84,18 @@ class RxChain:
             # cheaper coarse search (CONFIG_0-4 thresholds: -10..-3.5 dB)
             deep_sync = (not geom.spec.is_mfsk) and geom.spec.config <= 4
         self.deep_sync = bool(deep_sync)
-        if deep_profile not in ("c2f", "full"):
-            raise ValueError("deep_profile must be 'c2f' or 'full'")
-        # "c2f" (default): coarse-to-fine acquisition — whole-buffer scan at
-        # 2x extra decimation with a 30 Hz CFO grid nominates top-N
-        # (delay, CFO) candidates that re-score in the per-candidate
-        # matched-filter refinement at full MF resolution with +-15 Hz
-        # offsets (round-4 deep-sync-tax work; ~4x less scan compute than
-        # "full"). "full": round-3 behavior — whole buffer at MF resolution
-        # over the complete 15 Hz grid, every hypothesis entering final
-        # arbitration directly. FER parity at threshold verified in
-        # docs/deep_c2f_r4.md.
+        if deep_profile not in ("pruned", "c2f", "full"):
+            raise ValueError("deep_profile must be 'pruned', 'c2f' or "
+                             "'full'")
+        # "pruned" (default): the whole-buffer known-preamble scan with the
+        # CFO grid pruned 15 -> 30 Hz (17 -> 9 hypotheses wide) and every
+        # hypothesis entering final arbitration directly — halves the
+        # dominant deep-MF kernel work; the <=15 Hz grid residual is inside
+        # Moose's +-23.4 Hz pull-in at decode, and threshold FER is
+        # unchanged at 1024 frames (docs/deep_c2f_r4.md). "c2f": scan
+        # nominates top-N candidates into the per-candidate refinement —
+        # same FER, but the refine growth costs more than the scan saves
+        # on-chip (kept for study). "full": round-3 behavior (15 Hz grid).
         self.deep_profile = deep_profile
         # c2f tuning knobs (validated in docs/deep_c2f_r4.md): coarse-scan
         # extra time decimation, coarse CFO grid spacing (Hz), and how many
@@ -101,15 +104,40 @@ class RxChain:
         self._c2f_grid_hz = 30.0
         self._c2f_topn = 4
         self._c2f_lp = None           # preamble symbols in the scan (None=all)
+        self._c2f_refine_offsets = True   # add +-grid/2 to the refine bank
+        # whole-buffer scan grid spacing for the pruned/full profiles
+        self._deep_grid_hz = 30.0 if deep_profile == "pruned" else 15.0
         if ldpc_algo not in ("spa", "minsum", "layered", "layered-minsum"):
             raise ValueError("ldpc_algo must be 'spa', 'minsum', 'layered' "
                              "or 'layered-minsum'")
-        # spa default: full BP sensitivity (the BER campaign numbers);
-        # minsum trades ~0.2-0.4 dB for a cheaper check update; layered[-*]
-        # runs the same check update under the matmul-redistribution
-        # variable-disjoint layered schedule (fec/ldpc.py:decode_mm) — same
-        # sensitivity as the flooding SPA with ~2x fewer sweeps to converge
-        # at threshold SNR (docs/ldpc_layered_r3.md)
+        # OFDM demapper LLR calibration: max-log LLRs into a tanh-BP are
+        # slightly overconfident (miscalibration grows at the low-rate
+        # configs where 15/16 of the codeword is parity); a 0.9 shrink is
+        # the standard remedy and measures neutral-or-better at EVERY
+        # ladder point (docs/ladder_floor_r4.md A/B) — it is one of the two
+        # changes that close the cfg0/1/6 floor gaps vs the documented
+        # thresholds. llr_scale=1.0 restores the uncalibrated demapper.
+        self.llr_scale = float(llr_scale)
+        self._llr_scale_f = np.float32(llr_scale)
+        # MFSK demod (round 4, docs/ladder_floor_r4.md): sumexp = proper
+        # noncoherent marginalization over the tone hypotheses instead of
+        # the reference's max-log; noise_pool = frame-pooled out-of-band
+        # noise estimate (the per-symbol 18-bin estimate's variance was the
+        # single largest ROBUST_0 loss: -13 dB fixed-delay FER 0.109 ->
+        # 0.027 with both). mfsk_soft="maxlog", mfsk_noise_pool=False
+        # restore reference-parity demod behavior.
+        self.mfsk_soft = mfsk_soft
+        self.mfsk_noise_pool = bool(mfsk_noise_pool)
+        self._mfsk_sync_cands = int(mfsk_sync_cands)
+        # layered default (round 4): the matmul-redistribution
+        # variable-disjoint layered schedule (fec/ldpc.py:decode_mm) makes
+        # ~2x the per-sweep progress of flooding at the same 50-sweep
+        # reference budget — at the rate-1/16..8/16 floor configs that is
+        # the difference between missing and MEETING the documented
+        # thresholds (cfg0 -10.0 / cfg1 -7.5 / cfg6 -1.5:
+        # docs/ladder_floor_r4.md; FER <= flooding SPA at every other
+        # ladder point, docs/ldpc_layered_r3.md). 'spa'/'minsum' keep the
+        # flooding schedule (spa = the r2/r3 BER campaign decoder).
         self.ldpc_algo = ldpc_algo
         if dd is None:
             # auto: decision-directed re-estimation pays where channel
@@ -577,7 +605,7 @@ class RxChain:
             self._grid_stats_internal(grid)
         data = jnp.take(eq, self._data_cells, axis=-1)          # [B, nData]
         data = jnp.take(data, self._tf_iperm, axis=-1)
-        llr = psk.demod(data, self._const, variance)
+        llr = psk.demod(data, self._const, variance) * self._llr_scale_f
         llr = jnp.take(llr, self._bit_iperm, axis=-1)
         return llr, (flat, slope, data, variance, mean_h, var_full)
 
@@ -661,7 +689,7 @@ class RxChain:
                             axis=-1)
         data = jnp.take(eq, self._data_cells, axis=-1)
         data = jnp.take(data, self._tf_iperm, axis=-1)
-        llr = psk.demod(data, self._const, variance)
+        llr = psk.demod(data, self._const, variance) * self._llr_scale_f
         llr = jnp.take(llr, self._bit_iperm, axis=-1)
         return llr, data, variance, mean_h, var_full
 
@@ -706,7 +734,12 @@ class RxChain:
     # ------------------------------------------------------------------
     def decode_mfsk(self, grid: jnp.ndarray):
         g = self.geom
-        llr = mfsk_mod.demod(grid, g.mfsk, g.nc, self.active_nsymb)
+        llr = mfsk_mod.demod(grid, g.mfsk, g.nc, self.active_nsymb,
+                             soft=getattr(self, "mfsk_soft", "maxlog"),
+                             exp_scale=getattr(self, "mfsk_exp_scale", 1.0),
+                             clamp=getattr(self, "mfsk_clamp", 5.0),
+                             noise_pool=getattr(self, "mfsk_noise_pool",
+                                                False))
         if self.active_nbits < g.n_bits:   # punctured positions = erasures
             pad = jnp.zeros((*llr.shape[:-1], g.n_bits - self.active_nbits),
                             dtype=llr.dtype)
@@ -867,6 +900,28 @@ class RxChain:
                 freq = jnp.zeros(b, self.real_dtype)
                 payload, crc_ok, iters, snr, mean_h = self.decode_at(
                     pb_buffer, delay, freq)
+                # second-candidate arbitration (round 4): at the ROBUST_0
+                # waterfall the tone sync's argmax is the dominant residual
+                # loss (fixed-delay FER 0.027 vs sync-on 0.12 at -13 dB);
+                # decode the runner-up symbol offset (outside +-1 symbol of
+                # the winner) and keep whichever passes CRC — the reference
+                # spends its budget on re-trials instead
+                # (telecom_system.cc:931).
+                if self._mfsk_sync_cands > 1:
+                    pos = jnp.arange(met.shape[-1])
+                    sup = jnp.abs(pos[None, :] - sym_idx[:, None]) <= 1
+                    met2 = jnp.where(sup, -1.0, met)
+                    sym2 = jnp.argmax(met2, axis=-1)
+                    delay2 = (sym2 * g.nofdm * g.interp).astype(jnp.int32)
+                    p2, ok2, it2, snr2, mh2 = self.decode_at(
+                        pb_buffer, delay2, freq)
+                    use2 = ~crc_ok & ok2
+                    payload = jnp.where(use2[:, None], p2, payload)
+                    crc_ok = crc_ok | use2
+                    delay = jnp.where(use2, delay2, delay)
+                    iters = jnp.where(use2, it2, iters)
+                    snr = jnp.where(use2, snr2, snr)
+                    mean_h = jnp.where(use2, mh2, mean_h)
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
                                 metric, mean_h)
 
@@ -990,10 +1045,13 @@ class RxChain:
                 alias_offsets = (0.0, float(alias), -float(alias))
             else:
                 alias_offsets = (0.0,)
-            if deep_c2f and float(self._c2f_grid_hz) > 15.0:
+            if (deep_c2f and self._c2f_refine_offsets
+                    and float(self._c2f_grid_hz) > 15.0):
                 # a coarse grid wider than 15 Hz leaves >7.5 Hz residual;
                 # +-grid/2 bank offsets restore the old 15 Hz hypothesis
-                # density at refine time
+                # density at refine time (without them the residual is
+                # still within Moose's +-23.4 Hz pull-in at decode — the
+                # offsets only sharpen the refine's arbitration scores)
                 half = float(self._c2f_grid_hz) / 2.0
                 alias_offsets = alias_offsets + (half, -half)
             t_tmpl = np.arange(tmpl_d.shape[-1], dtype=np.float64) * mf_d
@@ -1048,8 +1106,9 @@ class RxChain:
                 # sync gates FER 1.0); it buys CONFIG_0-3 their baseband
                 # waterfalls through the full passband chain.
                 span = 120.0 if self.cfo_range == "wide" else 30.0
-                n_h = int(round(span / 15.0))
-                grid_f = np.arange(-n_h, n_h + 1) * 15.0
+                gsf = float(self._deep_grid_hz)
+                n_h = int(round(span / gsf))
+                grid_f = np.arange(-n_h, n_h + 1) * gsf
                 bank_g = np.stack([
                     tmpl_d * np.exp(-1j * (2 * np.pi / g.fs)
                                     * f_h * t_tmpl)[None]

@@ -104,10 +104,29 @@ class AlsaDevice:
                 "libasound not found — ALSA audio unavailable on this host; "
                 "use LoopbackDevice or a link.transport sample transport")
         self._lib = ctypes.CDLL(path)
+        # Full prototypes for every entry point used: without argtypes,
+        # ctypes passes buffer addresses as 32-bit C int — a pointer
+        # truncation that segfaults the moment a numpy buffer lands above
+        # 4 GB (found by the libasound contract stub,
+        # tests/test_audio.py::test_alsa_contract_params_and_loopback).
         self._lib.snd_pcm_open.argtypes = [ctypes.POINTER(ctypes.c_void_p),
                                            ctypes.c_char_p, ctypes.c_int,
                                            ctypes.c_int]
         self._lib.snd_strerror.restype = ctypes.c_char_p
+        self._lib.snd_strerror.argtypes = [ctypes.c_int]
+        self._lib.snd_pcm_set_params.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+            ctypes.c_uint, ctypes.c_int, ctypes.c_uint]
+        self._lib.snd_pcm_writei.restype = ctypes.c_long
+        self._lib.snd_pcm_writei.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_void_p,
+                                             ctypes.c_ulong]
+        self._lib.snd_pcm_readi.restype = ctypes.c_long
+        self._lib.snd_pcm_readi.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_ulong]
+        self._lib.snd_pcm_recover.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.c_int]
+        self._lib.snd_pcm_close.argtypes = [ctypes.c_void_p]
         self.rate, self.channels, self.channel = rate, channels, channel
         self.capture = capture
         self._pcm = ctypes.c_void_p()
@@ -133,6 +152,13 @@ class AlsaDevice:
             return []
         lib = ctypes.CDLL(path)
         hints = ctypes.POINTER(ctypes.c_void_p)()
+        lib.snd_device_name_hint.argtypes = [
+            ctypes.c_int, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_void_p))]
+        lib.snd_device_name_get_hint.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_char_p]
+        lib.snd_device_name_free_hint.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p)]
         if lib.snd_device_name_hint(-1, b"pcm", ctypes.byref(hints)) < 0:
             return []
         lib.snd_device_name_get_hint.restype = ctypes.c_void_p
@@ -213,6 +239,16 @@ class PulseDevice:
                                             ctypes.c_char_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.POINTER(ctypes.c_int)]
+        # full prototypes: ctypes passes raw buffer addresses as 32-bit C
+        # int without argtypes — pointer truncation (same defect class the
+        # libasound contract stub caught in AlsaDevice)
+        for fn in ("pa_simple_write", "pa_simple_read"):
+            getattr(self._lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int)]
+        self._lib.pa_simple_drain.argtypes = [ctypes.c_void_p,
+                                              ctypes.POINTER(ctypes.c_int)]
+        self._lib.pa_simple_free.argtypes = [ctypes.c_void_p]
         self.rate, self.capture = rate, capture
         spec = self._SampleSpec(self.PA_SAMPLE_FLOAT32LE, rate, 1)
         err = ctypes.c_int(0)

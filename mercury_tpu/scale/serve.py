@@ -37,6 +37,103 @@ from mercury_tpu.modem.rx import RxChain, RxResult
 from mercury_tpu.native import WindowPool
 
 
+class DeviceStreamPool:
+    """Device-resident serving pool: the per-channel windows LIVE IN HBM.
+
+    StreamPool moves the full [R, window] rows host->device every step —
+    1.5x the ingest bytes (window/chunk overlap) plus a host gather. For
+    uniform-block serving (aggregated SDR front-ends delivering one
+    [C, chunk] block per tick), this pool keeps the window state on the
+    device: feed_block uploads ONLY the new chunk (the information-
+    theoretic minimum H2D traffic) and a jitted donated-buffer update
+    rolls the window pool in HBM; step() decodes a bucket of ready rows
+    gathered ON DEVICE. Countdown/arming bookkeeping (scalars per
+    channel) stays on the host, mirroring the capture-prep protocol
+    (reference audioio.c:999-1069 / arq_common.cc:2690-2730).
+
+    Requires every feed_block to carry a whole number of symbols (the
+    ragged/partial-symbol case is StreamPool's job).
+    """
+
+    def __init__(self, geom: ModeGeometry, n_channels: int,
+                 rx: RxChain | None = None, idle_rearm: int = 4):
+        import jax
+        import jax.numpy as jnp
+
+        self.geom = geom
+        self.rx = rx or RxChain(geom)
+        g = geom
+        self.buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        self.sym_len = g.nofdm * g.interp
+        self.frame_syms = g.nsymb + g.preamble_nsymb
+        self.n_channels = n_channels
+        self.idle_rearm = idle_rearm
+        self._jnp = jnp
+        self.windows = jnp.zeros((n_channels, self.buf_len), jnp.float32)
+        self._ftr = np.full(n_channels, g.buffer_nsymb, np.int64)
+        self._ready = np.zeros(n_channels, bool)
+        self.frames_decoded = 0
+        self.batched_dispatches = 0
+        self.rows_dispatched = 0
+
+        def _update(windows, chunk):
+            n = chunk.shape[-1]
+            return jnp.concatenate([windows[:, n:], chunk], axis=-1)
+
+        # donate the window buffer: the roll happens in place in HBM
+        self._update = jax.jit(_update, donate_argnums=0)
+
+        @jax.jit
+        def _gather(windows, idx):
+            return jnp.take(windows, idx, axis=0)
+
+        self._gather = _gather
+
+    def feed_block(self, block: np.ndarray) -> None:
+        """One [n_channels, k*sym_len] capture block -> single H2D upload
+        + donated in-HBM window roll; countdown advances k symbols."""
+        jnp = self._jnp
+        assert block.shape[0] == self.n_channels
+        assert block.shape[1] % self.sym_len == 0, \
+            "DeviceStreamPool feeds whole symbols (use StreamPool for ragged)"
+        k = block.shape[1] // self.sym_len
+        self.windows = self._update(self.windows,
+                                    jnp.asarray(block, jnp.float32))
+        self._ready |= self._ftr <= k
+        self._ftr = np.maximum(self._ftr - k, 0)
+
+    def step(self) -> list[tuple[int, RxResult]]:
+        jnp = self._jnp
+        chans = np.flatnonzero(self._ready)
+        r = len(chans)
+        if r == 0:
+            return []
+        bucket = min(StreamPool._bucket(r), self.n_channels)
+        idx = np.zeros(bucket, np.int32)
+        idx[:r] = chans
+        rows = self._gather(self.windows, jnp.asarray(idx))
+        res = self.rx.receive(rows)
+        self.batched_dispatches += 1
+        self.rows_dispatched += r
+        ok = np.asarray(res.crc_ok)[:r]
+        delays = np.asarray(res.delay)[:r]
+        fields = tuple(np.asarray(x) for x in
+                       (res.payload, res.crc_ok, res.delay, res.freq_offset,
+                        res.snr_db, res.iters, res.sync_metric, res.mean_h))
+        out: list[tuple[int, RxResult]] = []
+        for i in range(r):
+            c = int(chans[i])
+            if ok[i]:
+                out.append((c, RxResult(*(f[i: i + 1] for f in fields))))
+                self._ftr[c] = max(int(delays[i]) // self.sym_len
+                                   + self.frame_syms, 1)
+            else:
+                self._ftr[c] = self.idle_rearm
+            self._ready[c] = False
+        self.frames_decoded += len(out)
+        return out
+
+
 class StreamPool:
     def __init__(self, geom: ModeGeometry, n_channels: int,
                  rx: RxChain | None = None, idle_rearm: int = 4):

@@ -114,6 +114,99 @@ def test_tune_tone_through_thread():
         io.stop()
 
 
+@pytest.fixture(scope="module")
+def alsa_stub(tmp_path_factory, monkeypatch_module=None):
+    """Build the libasound contract stub and point AlsaDevice at it
+    (VERDICT r3 item 8: exercise the ALSA backend beyond clean failure)."""
+    import ctypes.util
+    import pathlib
+    import subprocess
+
+    src = pathlib.Path(__file__).parent / "alsa_stub" / "alsa_stub.c"
+    so = tmp_path_factory.mktemp("alsa") / "libasound_stub.so"
+    subprocess.run(["gcc", "-O1", "-shared", "-fPIC", str(src),
+                    "-o", str(so)], check=True)
+    log = so.parent / "transcript.log"
+    orig = ctypes.util.find_library
+
+    def fake_find(name):
+        if name == "asound":
+            return str(so)
+        return orig(name)
+
+    ctypes.util.find_library = fake_find
+    import os
+    os.environ["ALSA_STUB_LOG"] = str(log)
+    import ctypes as _ct
+    ctrl = _ct.CDLL(str(so))
+    yield {"so": str(so), "log": log, "ctrl": ctrl}
+    ctypes.util.find_library = orig
+    os.environ.pop("ALSA_STUB_LOG", None)
+
+
+def test_alsa_contract_params_and_loopback(alsa_stub):
+    """AlsaDevice against the libasound contract stub: correct open/set
+    params on the wire (FLOAT_LE interleaved at the requested rate),
+    stereo MONO routing duplicates the mono signal, and samples written by
+    the playback PCM come back through the capture PCM."""
+    alsa_stub["ctrl"].alsa_stub_reset()
+    alsa_stub["log"].write_text("")
+    play = AlsaDevice("stub0", capture=False, rate=48000, channels=2)
+    cap = AlsaDevice("stub0", capture=True, rate=48000, channels=2)
+    tx = np.linspace(-0.5, 0.5, 480).astype(np.float32)
+    assert play.write(tx) == 480
+    got = cap.read(480)
+    np.testing.assert_allclose(got, tx, atol=1e-7)   # MONO mean of dup
+    play.close()
+    cap.close()
+    t = alsa_stub["log"].read_text()
+    assert "open name=stub0 stream=0" in t           # playback stream
+    assert "open name=stub0 stream=1" in t           # capture stream
+    # FLOAT_LE=14, RW_INTERLEAVED=3, 2ch @ 48 kHz — the reference's
+    # device contract (audioio.c format negotiation)
+    assert "set_params format=14 access=3 channels=2 rate=48000" in t
+    assert t.count("close") == 2
+
+
+def test_alsa_contract_channel_routing(alsa_stub):
+    """LEFT/RIGHT routing zeroes the other arm on the wire; capture of a
+    LEFT-routed signal through the RIGHT arm is silent."""
+    from mercury_tpu.native.audio import LEFT, RIGHT
+
+    alsa_stub["ctrl"].alsa_stub_reset()
+    play = AlsaDevice("stub0", capture=False, channels=2, channel=LEFT)
+    cap_r = AlsaDevice("stub0", capture=True, channels=2, channel=RIGHT)
+    cap_r2 = AlsaDevice("stub0", capture=True, channels=2, channel=LEFT)
+    tx = np.ones(100, np.float32)
+    play.write(tx)
+    got_r = cap_r.read(100)
+    np.testing.assert_array_equal(got_r, np.zeros(100, np.float32))
+    play.write(tx)
+    got_l = cap_r2.read(100)
+    np.testing.assert_array_equal(got_l, tx)
+    for d in (play, cap_r, cap_r2):
+        d.close()
+
+
+def test_alsa_contract_xrun_recovery(alsa_stub):
+    """A writei xrun (-EPIPE) triggers snd_pcm_recover and a retry that
+    delivers the frames (reference audioio.c underrun handling)."""
+    alsa_stub["ctrl"].alsa_stub_reset()
+    play = AlsaDevice("stub0", capture=False, channels=1)
+    cap = AlsaDevice("stub0", capture=True, channels=1)
+    alsa_stub["ctrl"].alsa_stub_arm_xrun()
+    tx = np.arange(64, dtype=np.float32)
+    assert play.write(tx) == 64                      # retry succeeded
+    assert alsa_stub["ctrl"].alsa_stub_recover_calls() == 1
+    np.testing.assert_array_equal(cap.read(64), tx)
+    play.close()
+    cap.close()
+
+
+def test_alsa_contract_device_listing(alsa_stub):
+    assert "stubpcm0" in AlsaDevice.list_devices()
+
+
 def test_alsa_gated_cleanly():
     """Without libasound the ALSA backend must raise a clear RuntimeError
     (and list_devices must return empty), not crash."""

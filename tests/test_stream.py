@@ -61,6 +61,44 @@ def test_transmit_batch_overlap_filtering():
     with pytest.raises(ValueError):
         tx.transmit_batch(np.zeros((2, 3), np.uint8))
 
+def test_device_stream_pool_serving():
+    """DeviceStreamPool keeps windows in device memory: uniform
+    symbol-aligned blocks feed via a single upload + donated roll, ready
+    rows gather on device, and every channel's frame decodes."""
+    import jax
+    from mercury_tpu.scale.serve import DeviceStreamPool
+
+    jax.clear_caches()
+    g = build_geometry(16)
+    tx = TxChain(g)
+    n_ch = 4
+    pool = DeviceStreamPool(g, n_ch)
+    rng = np.random.default_rng(3)
+    payloads = rng.integers(0, 256, (n_ch, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payloads))
+    sym = pool.sym_len
+    total = pool.buf_len + 8 * sym
+    streams = (2e-3 * rng.standard_normal((n_ch, total))).astype(np.float32)
+    for c in range(n_ch):
+        lead = (2 + c) * sym
+        streams[c, lead: lead + frames.shape[1]] += frames[c]
+    got: dict[int, bytes] = {}
+    # feed in uniform 3-symbol blocks, stepping after each
+    blk = 3 * sym
+    for pos in range(0, total - blk + 1, blk):
+        pool.feed_block(streams[:, pos: pos + blk])
+        for c, res in pool.step():
+            got.setdefault(c, bytes(np.asarray(res.payload)[0]))
+        if len(got) == n_ch:
+            break
+    assert sorted(got) == list(range(n_ch))
+    for c in range(n_ch):
+        assert got[c] == bytes(payloads[c])
+    assert pool.batched_dispatches < n_ch * 3
+    with pytest.raises(AssertionError):
+        pool.feed_block(streams[:, :sym + 1])     # ragged feed rejected
+
+
 def test_stream_pool_batched_serving():
     """StreamPool multiplexes independent channels into batched dispatches:
     every channel's frame decodes, payloads match per channel, and the

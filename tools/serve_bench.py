@@ -35,17 +35,17 @@ import numpy as np
 CFG = 9
 
 
-def bench_pool(n_ch: int, rounds: int, log) -> dict:
+def bench_pool(n_ch: int, rounds: int, log, kind: str = "host") -> dict:
     import jax
     import jax.numpy as jnp
 
     from mercury_tpu.core.geometry import build_geometry
     from mercury_tpu.modem.tx import TxChain
-    from mercury_tpu.scale.serve import StreamPool
+    from mercury_tpu.scale.serve import DeviceStreamPool, StreamPool
 
     g = build_geometry(CFG)
     tx = TxChain(g)
-    pool = StreamPool(g, n_ch)
+    pool = (DeviceStreamPool if kind == "device" else StreamPool)(g, n_ch)
     sym = pool.sym_len
     frame_syms = pool.frame_syms
     buf_syms = g.buffer_nsymb
@@ -100,13 +100,32 @@ def bench_pool(n_ch: int, rounds: int, log) -> dict:
     wall = time.perf_counter() - t0
     ingest = n_ch * chunk * rounds
     rows = pool.rows_dispatched - rows0
+
+    # H2D bandwidth probe: what the environment's transfer path costs for
+    # this pool's per-round upload (through the axon tunnel this dominates
+    # everything; on local PCIe it is >100x faster) — lets the JSON
+    # decompose transfer-bound from compute/runtime-bound
+    up = (np.zeros((n_ch, chunk), np.float32) if kind == "device"
+          else np.zeros((n_ch, pool.buf_len), np.float32))
+    t_h = time.perf_counter()
+    jax.block_until_ready(jax.device_put(up))
+    h2d_s = time.perf_counter() - t_h
+    h2d_gbps = up.nbytes / h2d_s / 1e9
     # two rates: ingest (what a real-time deployment must sustain per
     # channel) and processed (window samples through the full RX program —
     # the kernel-comparable number: rows x buf_len / wall)
+    h2d_bytes_round = (n_ch * chunk * 4 if kind == "device"
+                       else n_ch * pool.buf_len * 4)
+    step_s = t_step / rounds
     return {
+        "pool": kind,
         "n_channels": n_ch,
         "rounds": rounds,
         "chunk_samples_per_channel": chunk,
+        "h2d_probe_gbytes_per_s": round(h2d_gbps, 3),
+        "h2d_bytes_per_round": h2d_bytes_round,
+        "dispatch_ex_h2d_s_per_round": round(
+            max(step_s - h2d_bytes_round / (h2d_gbps * 1e9), 0.0), 4),
         "pool_ingest_msamples_per_s": round(ingest / wall / 1e6, 2),
         "pool_processed_msamples_per_s": round(
             rows * pool.buf_len / wall / 1e6, 2),
@@ -166,6 +185,7 @@ def main() -> int:
     ap.add_argument("--channels", type=int, nargs="*",
                     default=[64, 256, 1024])
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--pools", nargs="*", default=["host", "device"])
     ap.add_argument("--out", default="docs/serve_r4.json")
     args = ap.parse_args()
 
@@ -186,16 +206,18 @@ def main() -> int:
                               "barrier on the same batch shape"},
            "results": []}
     for n_ch in args.channels:
-        log(f"=== {n_ch} channels ===")
-        row = bench_pool(n_ch, args.rounds, log)
-        row.update(bench_kernel(n_ch, log))
-        row["pool_vs_kernel"] = round(
-            row["pool_processed_msamples_per_s"]
-            / row["kernel_msamples_per_s"], 3)
-        out["results"].append(row)
-        log(json.dumps(row))
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=1)
+        kern = bench_kernel(n_ch, log)
+        for kind in args.pools:
+            log(f"=== {n_ch} channels ({kind} pool) ===")
+            row = bench_pool(n_ch, args.rounds, log, kind=kind)
+            row.update(kern)
+            row["pool_vs_kernel"] = round(
+                row["pool_processed_msamples_per_s"]
+                / row["kernel_msamples_per_s"], 3)
+            out["results"].append(row)
+            log(json.dumps(row))
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
     log(f"wrote {args.out}")
     return 0
 

@@ -9,7 +9,7 @@ CRC) throughput per mode, the deep-sync acquisition profile split out for
 CONFIG_0, plus a batch-size sweep at CONFIG_9 showing where the
 dispatch-latency knee sits.
 
-Writes docs/throughput_r3.json and prints a markdown table.
+Writes docs/throughput_r4.json (--out) and prints a markdown table.
 
 Usage: python tools/throughput_table.py [--quick]
 """
@@ -90,6 +90,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="3 reps, skip batch sweep (CI smoke)")
+    ap.add_argument("--out", default="docs/throughput_r4.json")
     args = ap.parse_args()
     reps = 3 if args.quick else REPS
 
@@ -121,8 +122,9 @@ def main() -> int:
     out = {"meta": {"platform": platform, "reps": reps,
                     "esn0_db": 30.0, "batch": BATCH},
            "per_mode": rows, "batch_sweep": sweep}
+    out["meta"]["chain"] = "round-4 defaults: ldpc_algo=layered, llr_scale=0.9, deep_profile=pruned (30 Hz grid)"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "throughput_r3.json")
+        os.path.abspath(__file__))), args.out.replace("docs/", "docs" + os.sep))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
