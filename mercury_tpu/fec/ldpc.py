@@ -464,7 +464,14 @@ def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
         _l, _r, done, _i, it = state
         return (it < max_iter) & ~jnp.all(done)
 
-    r0 = jnp.zeros((nl, b, pl, cw), dtype=jnp.float32)
+    # tie the message store's sharding type to the input: under shard_map
+    # a plain zeros carry is 'replicated' while the scan threads it
+    # together with the varying llr, and tracing rejects the mismatch
+    # (vma rules). The where-marker is exactly 0 but data-dependent (and
+    # NaN-safe, unlike llr*0 if an LLR were ever +-inf).
+    vary0 = jnp.where(llr[:, :1] > 0, 0.0, 0.0)           # [B, 1], == 0
+    r0 = (jnp.zeros((nl, b, pl, cw), dtype=jnp.float32)
+          + vary0[None, :, :, None])
     iters0 = jnp.where(clean0, 0, max_iter + 1)
     state = (llr, r0, clean0, iters0, jnp.int32(0))
     llr_tot, _r, done, iters, _ = jax.lax.while_loop(cond, body, state)

@@ -913,15 +913,26 @@ class RxChain:
                     met2 = jnp.where(sup, -1.0, met)
                     sym2 = jnp.argmax(met2, axis=-1)
                     delay2 = (sym2 * g.nofdm * g.interp).astype(jnp.int32)
-                    p2, ok2, it2, snr2, mh2 = self.decode_at(
-                        pb_buffer, delay2, freq)
-                    use2 = ~crc_ok & ok2
-                    payload = jnp.where(use2[:, None], p2, payload)
-                    crc_ok = crc_ok | use2
-                    delay = jnp.where(use2, delay2, delay)
-                    iters = jnp.where(use2, it2, iters)
-                    snr = jnp.where(use2, snr2, snr)
-                    mean_h = jnp.where(use2, mh2, mean_h)
+                    res1 = (payload, crc_ok, delay, iters, snr, mean_h)
+
+                    def second(args):
+                        payload, crc_ok, delay, iters, snr, mean_h = args
+                        p2, ok2, it2, snr2, mh2 = self.decode_at(
+                            pb_buffer, delay2, freq)
+                        use2 = ~crc_ok & ok2
+                        return (jnp.where(use2[:, None], p2, payload),
+                                crc_ok | use2,
+                                jnp.where(use2, delay2, delay),
+                                jnp.where(use2, it2, iters),
+                                jnp.where(use2, snr2, snr),
+                                jnp.where(use2, mh2, mean_h))
+
+                    # only pay the second decode when some row failed —
+                    # zero cost on clean batches (same gating pattern as
+                    # the decision-directed pass)
+                    (payload, crc_ok, delay, iters, snr, mean_h) = \
+                        jax.lax.cond(jnp.all(crc_ok), lambda a: a, second,
+                                     res1)
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
                                 metric, mean_h)
 

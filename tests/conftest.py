@@ -48,3 +48,15 @@ class GoldenStore:
 @pytest.fixture(scope="session")
 def golden():
     return GoldenStore()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _xla_cpu_compile_state_guard():
+    """The XLA CPU compiler segfaults nondeterministically when compiling
+    large programs on top of a few hundred accumulated executables
+    (first seen on the 8-way SPMD lowerings in test_scale, then in plain
+    full-suite runs as the suite grew). Clearing the compile cache at
+    every module boundary bounds the accumulated state; per-module
+    recompiles cost seconds against a suite that must not crash."""
+    jax.clear_caches()
+    yield
