@@ -117,6 +117,14 @@ class RxChain:
         # ladder point (docs/ladder_floor_r4.md A/B) — it is one of the two
         # changes that close the cfg0/1/6 floor gaps vs the documented
         # thresholds. llr_scale=1.0 restores the uncalibrated demapper.
+        if llr_scale == 0.9 and geom.spec.ldpc_rate_num == 1:
+            # rate-dependent calibration: at rate 1/16 (15/16 of the
+            # codeword is parity) the max-log overconfidence amplifies
+            # through more BP mixing — 0.85 measures strictly better at
+            # the cfg0 threshold (batch-256 realization: FER 0.0791 ->
+            # 0.0732 on CPU) and the rate is used by cfg0/ROBUST only
+            # (MFSK has its own demod scale, unaffected)
+            llr_scale = 0.85
         self.llr_scale = float(llr_scale)
         self._llr_scale_f = np.float32(llr_scale)
         # MFSK demod (round 4, docs/ladder_floor_r4.md): sumexp = proper
@@ -555,13 +563,22 @@ class RxChain:
                             * jnp.asarray(self._pil_bins)[None]
                             ).astype(self.cdtype)
             y_est = y_pil * rot_p
-            h = ((y_est.real @ self._est_op.T)
-                 + 1j * (y_est.imag @ self._est_op.T))
+            # HIGHEST precision: the estimation smoothing runs on noise-
+            # dominated pilots at threshold SNR — the TPU's default
+            # bf16-multiply matmul adds estimation noise exactly where the
+            # floor configs live (CPU f32 and TPU numerics disagreed at
+            # the borderline cfg0/-10 point); the operator is tiny, the
+            # cost is invisible next to the FIR/FFT stages
+            hp = jax.lax.Precision.HIGHEST
+            h = (jnp.matmul(y_est.real, self._est_op.T, precision=hp)
+                 + 1j * jnp.matmul(y_est.imag, self._est_op.T, precision=hp))
             h = h * jnp.exp(1j * slope[:, None]
                             * jnp.asarray(self._cell_bins)[None]
                             ).astype(self.cdtype)
         else:
-            h = (y_pil.real @ self._est_op.T) + 1j * (y_pil.imag @ self._est_op.T)
+            hp = jax.lax.Precision.HIGHEST
+            h = (jnp.matmul(y_pil.real, self._est_op.T, precision=hp)
+                 + 1j * jnp.matmul(y_pil.imag, self._est_op.T, precision=hp))
             slope = jnp.zeros(b, self.real_dtype)
         h_pil = jnp.take(h, self._pilot_cells, axis=-1)
         mean_h = jnp.mean(jnp.abs(h_pil), axis=-1)
