@@ -84,6 +84,10 @@ def main(argv=None) -> int:
                     choices=["stockhf", "sbitx"],
                     help="radio type (reference main.cc:200-218): sbitx "
                     "shifts the carrier +15 kHz; INI key [Station] RadioType")
+    ap.add_argument("--gui", default=None, metavar="live|OUT.png",
+                    help="MONITOR: graphical monitor (matplotlib) — 'live' "
+                    "for a window, or a .png path for a headless snapshot "
+                    "(the ImGui GUI's visual counterpart)")
     ap.add_argument("--rx-profile", default=None,
                     choices=["static", "track"],
                     help="ARQ/SIM receiver profile (track = fading-tracking "
@@ -107,7 +111,12 @@ def main(argv=None) -> int:
             kw["dd_passes"] = a.dd_passes
         return kw
 
-    if args.cpu:
+    import os as _os
+    if args.cpu or _os.environ.get("JAX_PLATFORMS",
+                                   "").strip().lower() == "cpu":
+        # honor the env var too: this image's sitecustomize force-registers
+        # the axon TPU backend and overrides JAX_PLATFORMS, so without this
+        # a "CPU" invocation silently claims the one real TPU chip
         import jax
         jax.config.update("jax_platforms", "cpu")
 
@@ -347,6 +356,7 @@ def main(argv=None) -> int:
         buf_len = g.nofdm * g.buffer_nsymb * g.interp
         pos = 0
         noise_floor = None
+        vis = None
         while pos < len(stream):
             win = np.zeros(buf_len, np.float32)
             n = min(buf_len, len(stream) - pos)
@@ -370,10 +380,23 @@ def main(argv=None) -> int:
                 from mercury_tpu.obs import rx_diagnostics
                 const = rx_diagnostics(rx, win).get("constellation")
             dash.update_samples(win)
+            if args.gui is not None:
+                if vis is None:
+                    from mercury_tpu.gui import VisualMonitor
+                    live = args.gui == "live"
+                    vis = VisualMonitor(interactive=live)
+                    if live:
+                        vis.show()
+                vis.update(win, const, state)
+                if args.gui == "live":
+                    vis.pump()
             if sys.stdout.isatty():
                 sys.stdout.write(dash.clear_screen())
             print(dash.frame(state, const))
             pos += buf_len
+        if vis is not None and args.gui not in (None, "live"):
+            vis.snapshot(args.gui)
+            print(f"monitor snapshot written to {args.gui}")
         return 0
 
     if args.mode == "BENCH":

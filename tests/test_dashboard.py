@@ -56,3 +56,27 @@ def test_frame_renders_signal_dbm():
     # no noise floor yet: renders placeholder, no crash
     out2 = d.frame({"signal_dbm": -40.0})
     assert "--" in out2
+
+
+def test_visual_monitor_renders_headless(tmp_path):
+    """The matplotlib visual monitor (gui.py — the ImGui window's
+    counterpart) renders waterfall + constellation + VU + readouts from
+    real samples and writes a snapshot, headless (Agg)."""
+    from mercury_tpu.gui import VisualMonitor
+
+    rng = np.random.default_rng(0)
+    t = np.arange(48000)
+    samples = (0.2 * np.sin(2 * np.pi * 1500.0 / 48000.0 * t)
+               + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    const = (rng.choice([-1, 1], 200) + 1j * rng.choice([-1, 1], 200)
+             ) / np.sqrt(2)
+    mon = VisualMonitor()
+    mon.update(samples, const, {"config": 9, "link_status": "DECODED",
+                                "snr_db": 12.5, "cfo_hz": -3.2,
+                                "signal_dbm": -60.0,
+                                "noise_floor_dbm": -90.0})
+    mon.update(samples[:4096])              # incremental update path
+    out = tmp_path / "mon.png"
+    mon.snapshot(str(out))
+    mon.close()
+    assert out.exists() and out.stat().st_size > 20000
