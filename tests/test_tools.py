@@ -40,3 +40,12 @@ def test_ignores_non_event_lines():
     noise = ["garbage line", "sim 72.2s: 300/300 bytes (OK)", ""]
     a = analyze(parse_lines(noise + LOG.splitlines()))
     assert a["n_events"] == 9
+
+
+def test_flowgraph_blocks_roundtrip():
+    """examples/flowgraph.py (the GNU Radio OOT module's stand-in):
+    the padder/IFFT/GI/framer block chain round-trips carriers through an
+    AWGN splice at the expected EVM."""
+    import examples.flowgraph as fg_mod
+
+    assert fg_mod.main() == 0
