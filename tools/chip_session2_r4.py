@@ -1,16 +1,16 @@
 #!/usr/bin/env python
 """Second round-4 chip session (runs after the campaign refresh):
 
-1. sanity probe (degraded-relay gate, bench.py methodology)
+1. sanity probe (degraded-relay gate)
 2. difference-of-chains re-measures for the rows the plain-timing table
    left suspect or stale: cfg13/cfg14 (anomalous single-run timings),
    cfg100-102 (measured before the CRC-gated second sync candidate), and
    cfg0/cfg9 (confirm the HIGHEST-precision estimation matmul costs
    nothing) — rows patched into docs/throughput_r4.json with notes
-3. bench.py headline (final chain)
-4. cfg0 campaign redo with the final rate-1/16 calibration: the stale
-   cfg0 rows are dropped from docs/ber_r4b.json and re-measured
-5. serve_bench host+device pools at 256/1024 channels
+3. serving-pool benchmarks (host + device)
+(the cfg0 campaign redo and the final bench headline run as separate
+   processes — launcher chain and round driver respectively)
+
 
 In-Python budget; no kills; incremental writes.
 Usage: python tools/chip_session2_r4.py [budget_minutes]
@@ -100,7 +100,7 @@ def main() -> int:
     with open(table_path) as f:
         table = json.load(f)
 
-    for cfg in (9, 0, 13, 14, 100, 101, 102):
+    for cfg in (100, 101, 102, 13, 14, 9, 0):
         if not timings_ok or left() < 900:
             print(f"skip cfg{cfg}", flush=True)
             continue
@@ -144,18 +144,11 @@ def main() -> int:
         except Exception as e:          # noqa: BLE001
             print(f"cfg{cfg} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    # ---- 3. bench headline
-    if left() > 1200:
-        try:
-            import bench
-            bench.worker("tpu")
-        except (Exception, SystemExit) as e:    # noqa: BLE001
-            print(f"bench FAILED: {type(e).__name__}: {e}", flush=True)
+    # (the final bench headline is the round driver's own run on a free
+    # tunnel; the cfg0 campaign redo chains as a SEPARATE process after
+    # this one exits — never two live TPU clients)
 
-    # (the cfg0 campaign redo runs as a SEPARATE process chained after this
-    # one exits — never two live TPU clients; see the launcher)
-
-    # ---- 4. serving pools
+    # ---- 3. serving pools
     if left() > 1200:
         try:
             import tools.serve_bench as sb
