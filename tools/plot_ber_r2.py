@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Render docs/ber_r2_waterfalls.png: Es/N0@FER<0.1 per OFDM config —
+"""Render the waterfall chart: Es/N0@FER<0.1 per OFDM config —
+(usage: plot_ber_r2.py [campaign.json] [out.png], defaults r2) —
 documented table vs reference-build measured vs ours (baseband and
 passband-effective). Data: docs/ber_r2.json + docs/ref_oracle_bb.json."""
 
@@ -26,7 +27,9 @@ INK = "#0b0b0b"
 
 
 def main() -> int:
-    ber = json.load(open(os.path.join(DOCS, "ber_r2.json")))
+    src = sys.argv[1] if len(sys.argv) > 1 else "ber_r2.json"
+    out = sys.argv[2] if len(sys.argv) > 2 else "ber_r2_waterfalls.png"
+    ber = json.load(open(os.path.join(DOCS, src)))
     oracle = json.load(open(os.path.join(DOCS, "ref_oracle_bb.json")))
 
     cfgs = list(range(17))
@@ -83,9 +86,9 @@ def main() -> int:
     ax.tick_params(colors="#52514e")
     ax.legend(loc="upper left", fontsize=8, framealpha=0.9)
     fig.tight_layout()
-    out = os.path.join(DOCS, "ber_r2_waterfalls.png")
-    fig.savefig(out, facecolor=SURFACE)
-    print("wrote", out)
+    out_path = os.path.join(DOCS, out)
+    fig.savefig(out_path, facecolor=SURFACE)
+    print("wrote", out_path)
     return 0
 
 
