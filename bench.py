@@ -203,6 +203,14 @@ def run_worker(platform: str, timeout: int) -> str | None:
         stdout = f.read()
     with open(err_f.name) as f:
         stderr = f.read()
+    # normal exit: the captures have been read — remove them (they are kept
+    # only for abandoned workers, where the child still owns the handles)
+    for fobj in (out_f, err_f):
+        fobj.close()
+        try:
+            os.unlink(fobj.name)
+        except OSError:
+            pass
     for line in stdout.splitlines():
         if line.startswith("{"):
             return line

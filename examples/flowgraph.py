@@ -6,8 +6,10 @@ Radio blocks so channel experiments can be composed as flowgraphs
 (OFDM_test.grc, Mercury_channel_test.grc). Here the same primitives are
 already pure jit-able functions (`dsp/ops.py`, `core/geometry.py`), so the
 flowgraph surface is a thin composition layer: Block objects with
-`work(x) -> y`, chained by `Flowgraph`, each block carrying the exact
-tensor op the modem itself uses (no duplicate DSP).
+`work(x) -> y`, chained by `Flowgraph`, each block mirroring the modem's
+geometry-parameterized primitives (same pad maps, GI sizes and FFT
+conventions, drawn from the ModeGeometry) in plain numpy so a notebook
+flowgraph needs no device.
 
     python examples/flowgraph.py     # OFDM symbol chain through AWGN:
                                      # mod -> GI -> channel -> GI-strip ->
@@ -63,11 +65,7 @@ class Flowgraph:
 
 def make_blocks(geom):
     """Blocks over one mode geometry: the reference OOT module's block set
-    (gr-hermes_ofdm/lib/*.cc) from the modem's own primitives."""
-    import jax.numpy as jnp
-
-    from mercury_tpu.dsp import ops
-
+    (gr-hermes_ofdm/lib/*.cc) parameterized by the modem's ModeGeometry."""
     pad_map = np.asarray(geom.pad_map)
 
     def zero_padder(carriers):                 # [..., S, Nc] -> [..., S, Nfft]

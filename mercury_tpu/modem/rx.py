@@ -64,8 +64,9 @@ class RxChain:
                  dd: bool | None = None,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50,
-                 llr_scale: float = 0.9, mfsk_soft: str = "sumexp",
-                 mfsk_noise_pool: bool = True, mfsk_sync_cands: int = 2):
+                 llr_scale: float | None = None, mfsk_soft: str = "sumexp",
+                 mfsk_noise_pool: bool = True, mfsk_sync_cands: int = 2,
+                 mfsk_exp_scale: float = 1.0, mfsk_clamp: float = 5.0):
         self.geom = geom
         self.real_dtype = real_dtype
         # LDPC iteration cap (reference default 50, -I flag / INI
@@ -116,15 +117,17 @@ class RxChain:
         # the standard remedy and measures neutral-or-better at EVERY
         # ladder point (docs/ladder_floor_r4.md A/B) — it is one of the two
         # changes that close the cfg0/1/6 floor gaps vs the documented
-        # thresholds. llr_scale=1.0 restores the uncalibrated demapper.
-        if llr_scale == 0.9 and geom.spec.ldpc_rate_num == 1:
+        # thresholds. llr_scale=1.0 restores the uncalibrated demapper;
+        # None (the default) resolves to the calibrated value so an
+        # explicitly-passed 0.9 is honored even at rate 1/16.
+        if llr_scale is None:
             # rate-dependent calibration: at rate 1/16 (15/16 of the
             # codeword is parity) the max-log overconfidence amplifies
             # through more BP mixing — 0.85 measures strictly better at
             # the cfg0 threshold (batch-256 realization: FER 0.0791 ->
             # 0.0732 on CPU) and the rate is used by cfg0/ROBUST only
             # (MFSK has its own demod scale, unaffected)
-            llr_scale = 0.85
+            llr_scale = 0.85 if geom.spec.ldpc_rate_num == 1 else 0.9
         self.llr_scale = float(llr_scale)
         self._llr_scale_f = np.float32(llr_scale)
         # MFSK demod (round 4, docs/ladder_floor_r4.md): sumexp = proper
@@ -136,6 +139,8 @@ class RxChain:
         # restore reference-parity demod behavior.
         self.mfsk_soft = mfsk_soft
         self.mfsk_noise_pool = bool(mfsk_noise_pool)
+        self.mfsk_exp_scale = float(mfsk_exp_scale)
+        self.mfsk_clamp = float(mfsk_clamp)
         self._mfsk_sync_cands = int(mfsk_sync_cands)
         # layered default (round 4): the matmul-redistribution
         # variable-disjoint layered schedule (fec/ldpc.py:decode_mm) makes
@@ -752,11 +757,10 @@ class RxChain:
     def decode_mfsk(self, grid: jnp.ndarray):
         g = self.geom
         llr = mfsk_mod.demod(grid, g.mfsk, g.nc, self.active_nsymb,
-                             soft=getattr(self, "mfsk_soft", "maxlog"),
-                             exp_scale=getattr(self, "mfsk_exp_scale", 1.0),
-                             clamp=getattr(self, "mfsk_clamp", 5.0),
-                             noise_pool=getattr(self, "mfsk_noise_pool",
-                                                False))
+                             soft=self.mfsk_soft,
+                             exp_scale=self.mfsk_exp_scale,
+                             clamp=self.mfsk_clamp,
+                             noise_pool=self.mfsk_noise_pool)
         if self.active_nbits < g.n_bits:   # punctured positions = erasures
             pad = jnp.zeros((*llr.shape[:-1], g.n_bits - self.active_nbits),
                             dtype=llr.dtype)
@@ -930,10 +934,14 @@ class RxChain:
                     met2 = jnp.where(sup, -1.0, met)
                     sym2 = jnp.argmax(met2, axis=-1)
                     delay2 = (sym2 * g.nofdm * g.interp).astype(jnp.int32)
-                    res1 = (payload, crc_ok, delay, iters, snr, mean_h)
+                    metric2 = jnp.take_along_axis(met, sym2[:, None],
+                                                  axis=-1)[:, 0]
+                    res1 = (payload, crc_ok, delay, iters, snr, mean_h,
+                            metric)
 
                     def second(args):
-                        payload, crc_ok, delay, iters, snr, mean_h = args
+                        (payload, crc_ok, delay, iters, snr, mean_h,
+                         metric) = args
                         p2, ok2, it2, snr2, mh2 = self.decode_at(
                             pb_buffer, delay2, freq)
                         use2 = ~crc_ok & ok2
@@ -942,12 +950,16 @@ class RxChain:
                                 jnp.where(use2, delay2, delay),
                                 jnp.where(use2, it2, iters),
                                 jnp.where(use2, snr2, snr),
-                                jnp.where(use2, mh2, mean_h))
+                                jnp.where(use2, mh2, mean_h),
+                                # metric follows the winning hypothesis so
+                                # RxResult.sync_metric and .delay always
+                                # describe the same sync candidate
+                                jnp.where(use2, metric2, metric))
 
                     # only pay the second decode when some row failed —
                     # zero cost on clean batches (same gating pattern as
                     # the decision-directed pass)
-                    (payload, crc_ok, delay, iters, snr, mean_h) = \
+                    (payload, crc_ok, delay, iters, snr, mean_h, metric) = \
                         jax.lax.cond(jnp.all(crc_ok), lambda a: a, second,
                                      res1)
                 return RxResult(payload, crc_ok, delay, freq, snr, iters,
