@@ -50,10 +50,18 @@ class BerHarness:
     """Passband AWGN BER harness for one mode."""
 
     def __init__(self, config: int, batch: int = 32, seed: int = 0,
-                 pilot_density: int = 0, **rx_kwargs):
+                 pilot_density: int = 0, ctrl: bool = False, **rx_kwargs):
+        """ctrl=True sweeps the MFSK punctured short CONTROL frames
+        (ROBUST_0 1200 bits / ROBUST_1 1400 bits) instead of data frames —
+        the reference documents that their waterfall is UNCHANGED vs data
+        frames (telecom_system.cc:2968-2994) and ships a dedicated sweep
+        (tools/punctured_ber_test.py, CLI -P, main.cc:312-318); ARQ link
+        setup rides these frames, so the property needs its own campaign
+        rows (docs/ctrl_ber_r5.json)."""
         self.geom = build_geometry(config, pilot_density)
-        self.tx = TxChain(self.geom)
-        self.rx = RxChain(self.geom, **rx_kwargs)
+        self.ctrl = bool(ctrl)
+        self.tx = TxChain(self.geom, ctrl=ctrl)
+        self.rx = RxChain(self.geom, ctrl=ctrl, **rx_kwargs)
         self.batch = batch
         self.seed = seed
         self._bb_step = None       # lazily-built jitted baseband MC step

@@ -382,11 +382,11 @@ def _mm(a, b, contract, mm_dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("rate_num", "max_iter", "algo", "beta",
-                                    "alpha", "n_layers", "mm_dtype"))
+                                    "alpha", "n_layers", "mm_dtype", "soft"))
 def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
               algo: str = "spa", beta: float = 0.0,
               alpha: float | None = None, n_layers: int | None = None,
-              mm_dtype=jnp.bfloat16):
+              mm_dtype=jnp.bfloat16, soft: bool = False):
     """Batched BP decode with matmul message redistribution.
 
     Same contract as `decode` (llr [B, N] -> bits, iters, ok) with the edge
@@ -476,4 +476,8 @@ def decode_mm(llr: jnp.ndarray, rate_num: int, max_iter: int = 50,
     state = (llr, r0, clean0, iters0, jnp.int32(0))
     llr_tot, _r, done, iters, _ = jax.lax.while_loop(cond, body, state)
     bits = (llr_tot < 0).astype(jnp.int32)
+    if soft:
+        # posterior total LLRs — the BICM-ID feedback path reads the
+        # decoder extrinsic as (llr_tot - llr_in) per codeword position
+        return bits, iters.astype(jnp.int32), done, llr_tot
     return bits, iters.astype(jnp.int32), done

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,4 +41,49 @@ def demod(symbols: jnp.ndarray, constellation: jnp.ndarray,
     variance = jnp.asarray(variance)
     inv_var = jnp.reshape(1.0 / variance, variance.shape + (1,) * (llr.ndim - variance.ndim))
     llr = llr * inv_var
+    return llr.reshape(*symbols.shape[:-1], -1)
+
+
+def demod_full(symbols: jnp.ndarray, constellation: jnp.ndarray,
+               variance: jnp.ndarray,
+               la: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full log-MAP demapping with optional per-bit priors (BICM-ID).
+
+    Proper marginalization over the constellation (log-sum-exp instead of
+    the max-log min-distance of demod()), with the decoder's extrinsic
+    LLRs folded in as symbol priors — the demapper-decoder iteration the
+    reference's chain has no counterpart for (psk.cc:278-326 is one-shot
+    max-log). Sign convention matches demod(): LLR = log P(bit=0)/P(bit=1).
+
+    symbols: [..., n]; variance broadcastable per frame; la: per-bit priors
+    [..., n, log2M] MSB-first (same order as the output) or None.
+    Returns [..., n*log2M]: EXTRINSIC LLRs (la subtracted) when la is
+    given, full LLRs otherwise.
+    """
+    m = constellation.shape[0]
+    nbits = int(np.log2(m))
+    d = jnp.abs(symbols[..., None] - constellation) ** 2      # [..., n, M]
+    variance = jnp.asarray(variance)
+    inv_var = jnp.reshape(1.0 / variance,
+                          variance.shape + (1,) * (d.ndim - 1 - variance.ndim))
+    s = -d * inv_var[..., None]
+    idx = np.arange(m)
+    # bit_tab[k, j]: bit j (MSB-first) of constellation index k
+    bit_tab = ((idx[:, None] >> (nbits - 1 - np.arange(nbits))[None, :])
+               & 1).astype(np.float32)                        # [M, nbits]
+    if la is not None:
+        # symmetric prior score: +la/2 where bit=0, -la/2 where bit=1
+        s = s + jnp.einsum("...nj,kj->...nk", la,
+                           jnp.asarray(0.5 - bit_tab))
+    llrs = []
+    for j in range(nbits):
+        mask = bit_tab[:, j] == 0
+        s0 = jax.nn.logsumexp(jnp.where(jnp.asarray(mask), s, -jnp.inf),
+                              axis=-1)
+        s1 = jax.nn.logsumexp(jnp.where(jnp.asarray(~mask), s, -jnp.inf),
+                              axis=-1)
+        llrs.append(s0 - s1)
+    llr = jnp.stack(llrs, axis=-1)                            # [..., n, nbits]
+    if la is not None:
+        llr = llr - la
     return llr.reshape(*symbols.shape[:-1], -1)

@@ -61,7 +61,8 @@ class RxChain:
                  ctrl: bool = False, cfo_range: str = "wide",
                  deep_sync: bool | None = None, ldpc_algo: str = "layered",
                  deep_profile: str = "pruned",
-                 dd: bool | None = None,
+                 deep_coherent: bool = True, deep_topn: int = 8,
+                 dd: bool | None = None, bicm_iters: int = 0,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50,
                  llr_scale: float | None = None, mfsk_soft: str = "sumexp",
@@ -108,6 +109,20 @@ class RxChain:
         self._c2f_refine_offsets = True   # add +-grid/2 to the refine bank
         # whole-buffer scan grid spacing for the pruned/full profiles
         self._deep_grid_hz = 30.0 if deep_profile == "pruned" else 15.0
+        # Coherent deep acquisition (round 5, docs/acq_floor_r5.md): the
+        # noncoherent scan NOMINATES deep_topn distinct peaks per CFO row;
+        # a fully-coherent re-score over a fine static CFO grid (inter-
+        # symbol phase compensated, sync.coherent_preamble_rescore) then
+        # arbitrates all candidates — recovering the ~1 dB noncoherent
+        # combining loss that set the cfg0 passband acquisition floor.
+        # deep_coherent=False restores the round-4 argmax arbitration.
+        self.deep_coherent = bool(deep_coherent)
+        self._deep_topn = int(deep_topn)
+        self._deep_coh_grid_hz = 4.0
+        # pilot-extended arbitration: re-score the top-M coherent
+        # candidates against the pilot-only symbol waveforms (7x the
+        # preamble's integrable energy at cfg0 — sync.pilot_rescore)
+        self._deep_pil_topm = 6
         if ldpc_algo not in ("spa", "minsum", "layered", "layered-minsum"):
             raise ValueError("ldpc_algo must be 'spa', 'minsum', 'layered' "
                              "or 'layered-minsum'")
@@ -172,6 +187,18 @@ class RxChain:
             raise ValueError("decision-directed estimation requires an OFDM "
                              "mode with the LS estimator")
         self.dd = bool(dd)
+        # BICM-ID (round 5): feed the decoder extrinsics back into a full
+        # log-MAP demapper as symbol priors and re-decode, bicm_iters
+        # times, on rows whose first BP pass failed (psk.demod_full /
+        # _bicm_decode). The A/B at the cfg13-16 documented thresholds is
+        # docs/bicm_id_r5.md — converts esn0_reconciliation §5c from genie
+        # argument to experiment.
+        if bicm_iters and (geom.spec.is_mfsk or geom.constellation is None):
+            raise ValueError("bicm_iters requires an OFDM mode")
+        if bicm_iters and ldpc_algo not in ("layered", "layered-minsum"):
+            raise ValueError("bicm_iters requires the layered decoder "
+                             "(soft posterior output)")
+        self.bicm_iters = int(bicm_iters)
         # dd_window (symbols, carriers): the smoothing span of the DD
         # re-estimate. Default = the pilot LS window (best on AWGN/static
         # channels). Fading channels want a NARROW time window — e.g. (5, 9)
@@ -365,6 +392,21 @@ class RxChain:
         tmpl = hostdsp.linear_interp_x4(td, g.interp)
         self._mf_templates = np.asarray(
             tmpl.reshape(g.preamble_nsymb, g.nofdm * g.interp), self.np_cdtype)
+        if self.deep_sync and not g.spec.is_mfsk:
+            # per-symbol PILOT-ONLY waveforms for the pilot-extended
+            # arbitration (sync.pilot_rescore): the frame grid with data
+            # cells zeroed, pre-equalized exactly like TX (tx.py:modulate)
+            flat_p = np.zeros(g.nsymb * g.nc, np.complex128)
+            flat_p[np.asarray(g.pilot_cells)] = np.asarray(g.pilot_seq)
+            grid_p = flat_p.reshape(g.nsymb, g.nc)
+            if g.pre_eq is not None:
+                grid_p = grid_p * np.asarray(g.pre_eq)[None, :]
+            td_p = np.concatenate([
+                hostdsp.symbol_mod(grid_p[s], g.nfft, g.ngi, 1)
+                for s in range(g.nsymb)])
+            tp = hostdsp.linear_interp_x4(td_p, g.interp)
+            self._pil_templates = np.asarray(
+                tp.reshape(g.nsymb, g.nofdm * g.interp), self.np_cdtype)
 
         # route the decimating FIRs through the banded-Toeplitz matmul on
         # accelerator backends (MXU); the direct conv is faster on CPU
@@ -791,6 +833,74 @@ class RxChain:
             self.__dict__.pop(prop, None)
 
     # ------------------------------------------------------------------
+    def _bicm_decode(self, llr: jnp.ndarray, data: jnp.ndarray,
+                     variance: jnp.ndarray):
+        """First BP pass + bicm_iters iterative demapping-decoding passes
+        (BICM-ID) on rows whose BP did not converge: decoder extrinsic
+        (posterior - input) -> virtual-bit fold + bit_perm -> per-symbol
+        priors -> full log-MAP demapper (psk.demod_full) -> re-decode.
+        lax.cond skips the whole loop when every row converged. llr: wire-
+        order deinterleaved LLRs [B, nBits]; data: equalized symbols in
+        tf-deint order; variance: [B]. Returns (bits_n, iters, conv)."""
+        g = self.geom
+
+        def to_n(llr_w):
+            return jnp.concatenate([
+                llr_w[..., : g.n_real], llr_w[..., : g.n_virtual],
+                llr_w[..., g.n_real: g.n_real + g.ldpc_p]],
+                axis=-1).astype(jnp.float32)
+
+        check = "minsum" if self.ldpc_algo == "layered-minsum" else "spa"
+        mi = getattr(self, "ldpc_max_iter", 50)
+
+        def dec(l_n):
+            return ldpc.decode_mm(l_n, g.spec.ldpc_rate_num, algo=check,
+                                  max_iter=mi, soft=True)
+
+        llr_n0 = to_n(llr)
+        bits, iters, conv, post = dec(llr_n0)
+        if self.bicm_iters == 0:
+            return bits, iters, conv
+        nb = int(np.log2(len(self._const)))
+        # the channel LLRs carry the llr_scale calibration; keep the
+        # demapper's channel metric in the same units by scaling the
+        # distances (effective variance / scale), so decoder extrinsics
+        # and channel scores mix consistently
+        var_eff = variance / self._llr_scale_f
+
+        def run_id(args):
+            bits, iters, conv_c, llr_nc, post_c = args
+            for _ in range(self.bicm_iters):
+                ext_n = post_c - llr_nc
+                ext_real = ext_n[..., : g.n_real]
+                # virtual bits duplicate the first n_virtual wire bits —
+                # their extrinsics add (telecom_system.cc:1300-1308 layout)
+                ext_real = ext_real.at[..., : g.n_virtual].add(
+                    ext_n[..., g.n_real: g.n_real + g.n_virtual])
+                ext_wire = jnp.concatenate(
+                    [ext_real, ext_n[..., g.n_real + g.n_virtual:]],
+                    axis=-1)
+                la_sym = jnp.take(ext_wire, self._bit_perm, axis=-1)
+                la = la_sym.reshape(*la_sym.shape[:-1], -1, nb)
+                ext2 = psk.demod_full(data, self._const, var_eff, la)
+                llr2 = jnp.take(ext2, self._bit_iperm, axis=-1)
+                llr_n2 = to_n(llr2)
+                bits2, it2, conv2, post2 = dec(llr_n2)
+                use = ~conv_c
+                uc = use[:, None]
+                bits = jnp.where(uc, bits2, bits)
+                iters = jnp.where(use, iters + it2, iters)
+                llr_nc = jnp.where(uc, llr_n2, llr_nc)
+                post_c = jnp.where(uc, post2, post_c)
+                conv_c = jnp.where(use, conv2, conv_c)
+            return bits, iters, conv_c, llr_nc, post_c
+
+        args = (bits, iters, conv, llr_n0, post)
+        bits, iters, conv, _l, _p = jax.lax.cond(
+            jnp.all(conv), lambda a: a, run_id, args)
+        return bits, iters, conv
+
+    # ------------------------------------------------------------------
     def llr_to_payload(self, llr: jnp.ndarray):
         """Deinterleaved LLRs [B, nBits] -> LDPC decode -> CRC check
         (parity/virtual-bit shuffle per telecom_system.cc:1300-1308)."""
@@ -823,7 +933,7 @@ class RxChain:
         (no energy dispersal), so the decoded codeword feeds the
         re-estimation directly."""
         g = self.geom
-        llr, (flat, slope, _d, _v, _mh, _vf) = self._ofdm_llr(grid)
+        llr, (flat, slope, data, variance, _mh, _vf) = self._ofdm_llr(grid)
 
         def bp(llr_in):
             llr_n = jnp.concatenate([
@@ -833,7 +943,10 @@ class RxChain:
             ], axis=-1).astype(jnp.float32)
             return self._ldpc_decode(llr_n, g.spec.ldpc_rate_num)
 
-        bits, _iters, conv = bp(llr)
+        if self.bicm_iters > 0:
+            bits, _iters, conv = self._bicm_decode(llr, data, variance)
+        else:
+            bits, _iters, conv = bp(llr)
         if not self.dd:
             return bits[..., : g.n_real]
 
@@ -1131,6 +1244,9 @@ class RxChain:
             scores = jnp.swapaxes(score_f.reshape(n_cand_tot, b, n_alias),
                                   1, 2).reshape(n_rows, b)
             cfos = jnp.concatenate(cfo_rows, axis=0)
+            deep_coh = (self.deep_sync and not deep_c2f
+                        and self.deep_coherent)
+            d_deep = None
             if self.deep_sync and not deep_c2f:
                 # Global known-preamble acquisition (deep sync): below ~-3 dB
                 # effective Es/N0 the blind SC autocorrelation loses SNR
@@ -1156,22 +1272,93 @@ class RxChain:
                 n_gd = n_ts // mf_s             # whole buffer at mf_d rate
                 win_g = (n_gd - lp * s_d) // 2
                 seg_g = bb_ts[..., : (2 * win_g + lp * s_d) * mf_s: mf_s]
-                delay_g, score_g = sync.matched_filter_refine_bank(
-                    seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
-                    use_mm=False)                               # [B, H]
-                delays = jnp.concatenate([delays, delay_g.T * mf_d], axis=0)
-                scores = jnp.concatenate([scores, score_g.T], axis=0)
-                cfos = jnp.concatenate(
-                    [cfos, jnp.asarray(grid_f, self.real_dtype)[:, None]
-                     * jnp.ones((1, b), self.real_dtype)], axis=0)
-            if sync_limit is not None:
-                # a boundary frame's GI plateau can sneak a candidate just
-                # under the limit and then refine PAST it — arbitrate only
-                # among hypotheses whose refined start is owned
-                scores = jnp.where(delays >= sync_limit, -jnp.inf, scores)
-            pick_a = jnp.argmax(scores, axis=0)                 # [B]
-            delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
-            coarse_cfo = jnp.take_along_axis(cfos, pick_a[None], axis=0)[0]
+                if deep_coh:
+                    # nominate deep_topn DISTINCT peaks per CFO row (GI-wide
+                    # plateau suppression) — the coherent re-score below
+                    # arbitrates, so the noncoherent scan only has to
+                    # surface the true start somewhere in the shortlist
+                    d_n, _s_n = sync.matched_filter_refine_bank(
+                        seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
+                        use_mm=False, topn=self._deep_topn)     # [B, H, N]
+                    d_deep = d_n.reshape(b, -1) * mf_d
+                else:
+                    delay_g, score_g = sync.matched_filter_refine_bank(
+                        seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
+                        use_mm=False)                           # [B, H]
+                    delays = jnp.concatenate([delays, delay_g.T * mf_d],
+                                             axis=0)
+                    scores = jnp.concatenate([scores, score_g.T], axis=0)
+                    cfos = jnp.concatenate(
+                        [cfos, jnp.asarray(grid_f, self.real_dtype)[:, None]
+                         * jnp.ones((1, b), self.real_dtype)], axis=0)
+            if deep_coh:
+                # shortlist = SC-refined rows + deep nominees; arbitrate
+                # with the fully-coherent fine-grid re-score (the static
+                # grid is data-independent: host-precomputed bank)
+                cand_all = jnp.concatenate([delays.T, d_deep], axis=1)
+                gsc = float(self._deep_coh_grid_hz)
+                span_c2 = 120.0 if self.cfo_range == "wide" else 45.0
+                n_hc2 = int(round(span_c2 / gsc))
+                grid_coh = np.arange(-n_hc2, n_hc2 + 1) * gsc
+                t_abs = (np.arange(tmpl_d.shape[-1])[None, :] * mf_d
+                         + np.arange(lp)[:, None] * s_tmpl)     # [Lp, S_d]
+                bank_coh = np.stack([
+                    tmpl_d * np.exp(-1j * (2 * np.pi / g.fs) * f_h * t_abs)
+                    for f_h in grid_coh]).astype(self.np_cdtype)
+                score_c = sync.coherent_preamble_rescore(
+                    bb_ts, cand_all, bank_coh, mf_s, ts_dec)    # [B, N, F]
+                if sync_limit is not None:
+                    score_c = jnp.where(cand_all[:, :, None] >= sync_limit,
+                                        -jnp.inf, score_c)
+                f_n = len(grid_coh)
+                # pilot-extended final arbitration: among the top-M
+                # coherent candidates (each at its best CFO), the pilot
+                # lattice — 7x the preamble energy — picks the start
+                s_best = jnp.max(score_c, axis=-1)              # [B, N]
+                f_best = jnp.argmax(score_c, axis=-1)           # [B, N]
+                if stage == "arb":   # diagnostic: per-candidate best rows
+                    cfo_at = jnp.asarray(grid_coh, self.real_dtype)[f_best]
+                    return cand_all.T, s_best.T, cfo_at.T
+                m_top = min(self._deep_pil_topm, cand_all.shape[1])
+                if m_top > 1:
+                    _ts, top_n = jax.lax.top_k(s_best, m_top)   # [B, M]
+                    d_top = jnp.take_along_axis(cand_all, top_n, axis=1)
+                    f_top = jnp.take_along_axis(f_best, top_n, axis=1)
+                    bank_pil = np.stack([
+                        self._pil_templates[:, ::mf_d]
+                        * np.exp(-1j * (2 * np.pi / g.fs) * f_h
+                                 * np.arange(0, s_tmpl, mf_d))[None]
+                        for f_h in grid_coh]).astype(self.np_cdtype)
+                    score_p = sync.pilot_rescore(
+                        bb_ts, d_top, f_top, bank_pil, mf_s, ts_dec,
+                        lp * s_tmpl)                            # [B, M]
+                    pick_m = jnp.argmax(score_p, axis=-1)       # [B]
+                    delay = jnp.take_along_axis(d_top, pick_m[:, None],
+                                                axis=1)[:, 0]
+                    coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
+                        jnp.take_along_axis(f_top, pick_m[:, None],
+                                            axis=1)[:, 0]]
+                else:
+                    flat_c = score_c.reshape(b, -1)
+                    pick_c = jnp.argmax(flat_c, axis=-1)
+                    n_pick = pick_c // f_n
+                    delay = jnp.take_along_axis(cand_all, n_pick[:, None],
+                                                axis=1)[:, 0]
+                    coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
+                        pick_c % f_n]
+            else:
+                if sync_limit is not None:
+                    # a boundary frame's GI plateau can sneak a candidate
+                    # just under the limit and then refine PAST it —
+                    # arbitrate only among owned hypotheses
+                    scores = jnp.where(delays >= sync_limit, -jnp.inf,
+                                       scores)
+                if stage == "arb":   # diagnostic: the full pre-argmax stacks
+                    return delays, scores, cfos
+                pick_a = jnp.argmax(scores, axis=0)             # [B]
+                delay = jnp.take_along_axis(delays, pick_a[None], axis=0)[0]
+                coarse_cfo = jnp.take_along_axis(cfos, pick_a[None],
+                                                 axis=0)[0]
             # sample a little early inside the guard interval: the exact
             # frame-start sample sits on the ISI boundary of the RX FIR tails,
             # a small advance is absorbed by the cyclic prefix + channel

@@ -163,11 +163,35 @@ def matched_filter_refine_seg(seg: jnp.ndarray, start: jnp.ndarray,
     return delay[:, 0], score[:, 0]
 
 
+def topk_pooled(score: jnp.ndarray, start, topn: int,
+                pool_w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-N peaks of score [..., n_cand] with plateau suppression: max-pool
+    into pool_w-wide windows first so the N nominees are distinct peaks, not
+    N samples of one peak. Returns (delay [..., N] = start + offset,
+    score [..., N])."""
+    n_cand = score.shape[-1]
+    n_pool = -(-n_cand // pool_w)
+    pad = n_pool * pool_w - n_cand
+    sp = jnp.pad(score, [(0, 0)] * (score.ndim - 1) + [(0, pad)],
+                 constant_values=-jnp.inf)
+    sp = sp.reshape(*score.shape[:-1], n_pool, pool_w)
+    pooled = jnp.max(sp, axis=-1)
+    inner = jnp.argmax(sp, axis=-1)
+    top_s, top_i = jax.lax.top_k(pooled, min(topn, n_pool))   # [..., N]
+    off = top_i * pool_w + jnp.take_along_axis(inner, top_i, axis=-1)
+    if isinstance(start, jnp.ndarray) and start.ndim:
+        off = off + start.reshape(start.shape + (1,) * (off.ndim - start.ndim))
+    else:
+        off = off + start
+    return off.astype(jnp.int32), top_s
+
+
 def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
                                bank: np.ndarray, window: int,
                                use_mm: bool | None = None,
                                use_fft_mm: bool | None = None,
                                use_pallas: bool | None = None,
+                               topn: int = 1, pool_w: int = 8,
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter refinement against a bank of A template variants
     (e.g. CFO-alias rotations, host-precomputed) in one pass.
@@ -182,7 +206,11 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
     or FFT correlation (CPU default — fewer flops, no MXU to feed).
 
     seg: [B, 2*window + Lp*S]; start: absolute offset of seg[0];
-    bank: [A, Lp, S] complex. Returns (delay [B, A], score [B, A]).
+    bank: [A, Lp, S] complex. Returns (delay [B, A], score [B, A]); with
+    topn > 1, (delay [B, A, N], score [B, A, N]) — the N best DISTINCT
+    peaks per row (pool_w-window plateau suppression, see topk_pooled),
+    used by the coherent deep-acquisition re-score to nominate more than
+    one start hypothesis per CFO row.
     """
     if use_mm is None:
         use_mm = jax.default_backend() != "cpu"
@@ -222,6 +250,10 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         if use_pallas:
             from mercury_tpu.dsp.pallas_kernels import deep_mf_score
             score_p = deep_mf_score(seg, np.asarray(bank), window, nfft2)
+            if topn > 1:
+                d_n, s_n = topk_pooled(score_p, start[:, None, None],
+                                       topn, pool_w)
+                return d_n, s_n / lp
             best_p = jnp.argmax(score_p, axis=-1)               # [B, A]
             delay_p = start[:, None] + best_p
             return (delay_p.astype(jnp.int32),
@@ -267,10 +299,108 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         term = c_l / (jnp.sqrt(jnp.maximum(e_l, e_floor))[:, None]
                       * jnp.asarray(t_norm[None, :, l, None]))
         score = score + jnp.where(e_l[:, None] > e_floor[:, None], term, 0.0)
+    if topn > 1:
+        d_n, s_n = topk_pooled(score, start[:, None, None], topn, pool_w)
+        return d_n, s_n / lp
     best = jnp.argmax(score, axis=-1)                          # [B, A]
     delay = start[:, None] + best
     return (delay.astype(jnp.int32),
             jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp)
+
+
+def coherent_preamble_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
+                              bank: np.ndarray, mf_s: int,
+                              ts_dec: int) -> jnp.ndarray:
+    """Fully-coherent preamble scoring of candidate frame starts.
+
+    The scan metrics above combine the per-preamble-symbol correlations
+    noncoherently (|c_l| per symbol, summed) to stay CFO-tolerant — which
+    costs ~1-1.2 dB of metric SNR at Lp=4 relative to the coherent sum
+    |sum_l c_l| that a static channel allows. At the deep-acquisition floor
+    (cfg0 at effective −10 dB) that loss IS the remaining passband-vs-
+    baseband gap (tools/acq_floor_r5.py: misacquisition 0.18 where genie
+    sync decodes at FER 0.02). This stage restores the coherent gain for a
+    SHORTLIST of candidates: each bank row carries one CFO hypothesis with
+    the template rotated in ABSOLUTE time — including the l*S inter-symbol
+    phase — so for the correct hypothesis the per-symbol correlations add
+    in phase; a fine grid (~4 Hz) bounds the residual inter-symbol drift
+    to <0.5 dB. Capability the reference lacks entirely (its passband sync
+    gates FER 1.0; its trial loop re-decodes instead,
+    telecom_system.cc:931-1017).
+
+    bb_ts: [B, n_ts] base-rate TS baseband (interp rate / ts_dec).
+    cand_delay: [B, N] interp-rate start candidates (multiples of
+      mf_d = mf_s * ts_dec, as produced by the MF scan/refinement).
+    bank: [F, Lp, S_d] complex, template symbol l sampled at mf_d rate and
+      rotated by exp(-j*2*pi*f*(l*S + t*mf_d)/fs).
+    Returns score [B, N, F], normalized by segment energy x template norm.
+    """
+    f_n, lp, s_d = bank.shape
+    span = (lp * s_d - 1) * mf_s + 1
+    b, n_ts = bb_ts.shape
+    idx0 = jnp.clip(cand_delay // ts_dec, 0, max(n_ts - span, 0))
+
+    def slice_one(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (span,))
+
+    seg = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0)),
+                   in_axes=(0, 0))(bb_ts, idx0)
+    seg = seg[..., ::mf_s]                         # [B, N, Lp*S_d]
+    bk = np.conj(np.asarray(bank)).reshape(f_n, lp * s_d)
+    # complex correlation as two real matmuls per part (MXU-friendly)
+    c = jnp.einsum("bns,fs->bnf", seg, jnp.asarray(bk, dtype=seg.dtype))
+    e = jnp.sum(jnp.real(seg) ** 2 + jnp.imag(seg) ** 2, axis=-1)  # [B, N]
+    t2 = float(np.sum(np.abs(bank[0]) ** 2))       # rotation-invariant
+    return jnp.abs(c) / jnp.sqrt(jnp.maximum(e[..., None] * t2, 1e-30))
+
+
+def pilot_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
+                  cand_fidx: jnp.ndarray, bank: np.ndarray, mf_s: int,
+                  ts_dec: int, pre_span: int) -> jnp.ndarray:
+    """Pilot-lattice extended-preamble scoring of candidate frame starts.
+
+    The preamble carries ~200 Es-units of energy at cfg0; the pilot lattice
+    carries ~1400 (800 pilots x 1.33^2 boost) — 7x more integrable signal
+    for start arbitration. Each candidate (delay, CFO-grid-index) pair from
+    the coherent preamble stage is re-scored against the per-symbol
+    PILOT-ONLY waveforms (data cells zero in the template: the unknown data
+    acts as zero-mean self-noise in the correlation). Time-domain
+    correlation keeps the mf_d delay quantization harmless (peak width
+    ~1/BW >> mf_d), where a frequency-domain pilot correlation would lose
+    within-symbol carrier coherence to the residual timing ramp. Coherent
+    within each symbol (CFO known to ~grid/2 from the coherent stage),
+    noncoherent |.| across symbols (the multi-second frame drifts many
+    radians even at 2 Hz residual).
+
+    bb_ts: [B, n_ts] base-rate TS baseband. cand_delay: [B, M] interp-rate
+    frame starts. cand_fidx: [B, M] indices into the CFO grid. bank:
+    [F, Nsymb, S_d] complex pilot-only symbol templates at mf_d rate, each
+    rotated by its grid CFO in LOCAL symbol time (absolute phase cancels in
+    the per-symbol |.|), with TX pre-equalization applied. pre_span:
+    preamble length in interp samples. Returns score [B, M] (sum of
+    normalized per-symbol correlation magnitudes).
+    """
+    f_n, nsym, s_d = bank.shape
+    span = (nsym * s_d - 1) * mf_s + 1
+    b, n_ts = bb_ts.shape
+    start = cand_delay + pre_span
+    idx0 = jnp.clip(start // ts_dec, 0, max(n_ts - span, 0))
+
+    def slice_one(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (span,))
+
+    seg = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0)),
+                   in_axes=(0, 0))(bb_ts, idx0)
+    seg = seg[..., ::mf_s].reshape(b, cand_delay.shape[1], nsym, s_d)
+    bank_j = jnp.asarray(np.conj(np.asarray(bank)), dtype=seg.dtype)
+    bk = jnp.take(bank_j, cand_fidx, axis=0)       # [B, M, Nsymb, S_d]
+    c = jnp.sum(seg * bk, axis=-1)                 # [B, M, Nsymb]
+    e_s = jnp.sum(jnp.real(seg) ** 2 + jnp.imag(seg) ** 2, axis=-1)
+    e_t = np.sum(np.abs(np.asarray(bank[0])) ** 2, axis=-1)     # [Nsymb]
+    e_floor = 1e-4 * jnp.mean(e_s, axis=(-2, -1), keepdims=True) + 1e-20
+    term = jnp.abs(c) / jnp.sqrt(jnp.maximum(
+        e_s * jnp.asarray(e_t, e_s.dtype)[None, None], 1e-30))
+    return jnp.sum(jnp.where(e_s > e_floor, term, 0.0), axis=-1)
 
 
 def gi_time_sync_metric(bb: jnp.ndarray, geom: ModeGeometry,

@@ -93,7 +93,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/ber_r4.json")
     ap.add_argument("--harness", default="all",
-                    choices=["all", "bb", "pb", "mfsk"])
+                    choices=["all", "bb", "pb", "mfsk", "ctrl"])
     ap.add_argument("--configs", type=int, nargs="*", default=None)
     ap.add_argument("--density", default="both",
                     choices=["both", "high", "low"])
@@ -155,6 +155,13 @@ def main() -> int:
             # the reference's own MFSK test bypasses sync (mfsk_fixed_delay,
             # telecom_system.cc:663-673) — measure that convention too
             jobs.append((c, "high", HIGH_DENSITY, "mfsk_fixed"))
+    if args.harness in ("all", "ctrl"):
+        # punctured short control frames (ROBUST_0/1 only): the reference
+        # documents an UNCHANGED waterfall vs data frames
+        # (telecom_system.cc:2968-2994; sweep tool punctured_ber_test.py)
+        for c in (100, 101):
+            jobs.append((c, "high", HIGH_DENSITY, "ctrl"))
+            jobs.append((c, "high", HIGH_DENSITY, "ctrl_fixed"))
     if args.configs is not None:
         jobs = [j for j in jobs if j[0] in args.configs]
 
@@ -163,7 +170,8 @@ def main() -> int:
             continue
         t0 = time.time()
         log(f"=== cfg{cfg} {dname} {harness} ===")
-        h = BerHarness(cfg, batch=args.batch, pilot_density=dens)
+        h = BerHarness(cfg, batch=args.batch, pilot_density=dens,
+                       ctrl=harness.startswith("ctrl"))
         doc = DOCUMENTED.get(cfg)
         delta = None
         if harness == "baseband":
@@ -177,8 +185,8 @@ def main() -> int:
             run_fn = h.run_point
             start = (doc if doc is not None else 0.0) - delta - 2.0
             step, max_off = 0.5, 26.0
-        else:  # mfsk channel-SNR convention (sync-on or fixed-delay)
-            if harness == "mfsk_fixed":
+        else:  # mfsk/ctrl channel-SNR convention (sync-on or fixed-delay)
+            if harness.endswith("_fixed"):
                 import functools
                 run_fn = functools.partial(h.run_point, fixed_delay=True)
             else:
