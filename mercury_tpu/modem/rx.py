@@ -62,7 +62,7 @@ class RxChain:
                  deep_sync: bool | None = None, ldpc_algo: str = "layered",
                  deep_profile: str = "pruned",
                  deep_coherent: bool = True, deep_topn: int = 8,
-                 dd: bool | None = None, bicm_iters: int = 0,
+                 dd: bool | None = None, bicm_iters: int | None = None,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50,
                  llr_scale: float | None = None, mfsk_soft: str = "sumexp",
@@ -191,8 +191,19 @@ class RxChain:
         # log-MAP demapper as symbol priors and re-decode, bicm_iters
         # times, on rows whose first BP pass failed (psk.demod_full /
         # _bicm_decode). The A/B at the cfg13-16 documented thresholds is
-        # docs/bicm_id_r5.md — converts esn0_reconciliation §5c from genie
-        # argument to experiment.
+        # docs/bicm_id_r5.md: ~0.4-0.5 dB at CONFIG_16 (whose 32QAM cross
+        # mapping is non-Gray, nearest-neighbor Hamming 1.154) and
+        # measured-nil at the perfectly-Gray cfg13/14/15 mappings — so the
+        # auto default (None) turns it on for 32QAM only. Runs only on
+        # rows whose first BP pass failed (lax.cond-gated), so the
+        # clean-signal cost is ~zero.
+        if bicm_iters is None:
+            bicm_iters = 2 if (not geom.spec.is_mfsk
+                               and not ctrl
+                               and geom.constellation is not None
+                               and len(geom.constellation) == 32
+                               and ldpc_algo in ("layered",
+                                                 "layered-minsum")) else 0
         if bicm_iters and (geom.spec.is_mfsk or geom.constellation is None):
             raise ValueError("bicm_iters requires an OFDM mode")
         if bicm_iters and ldpc_algo not in ("layered", "layered-minsum"):
@@ -763,7 +774,8 @@ class RxChain:
         Rows whose first BP pass converged keep their result; the others are
         re-estimated/re-decoded. lax.cond skips the whole second pass when
         every row converged, so the clean-signal cost is one all-reduce."""
-        payload, crc_ok, iters, real_bits, conv = self.llr_to_payload(llr)
+        payload, crc_ok, iters, real_bits, conv = self.llr_to_payload(
+            llr, data, variance)
         if not self.dd:
             return (payload, crc_ok, iters, real_bits, data, variance,
                     var_full, mean_h)
@@ -776,7 +788,8 @@ class RxChain:
                 wire = jnp.bitwise_xor(real_bits, self._dispersal[None])
                 llr2, data2, var2, mh2, vf2 = self._dd_demod(flat, slope,
                                                              wire)
-                payload2, crc2, it2, rb2, conv2 = self.llr_to_payload(llr2)
+                payload2, crc2, it2, rb2, conv2 = self.llr_to_payload(
+                    llr2, data2, var2)
                 use2 = ~conv_c
                 u2c = use2[:, None]
                 payload = jnp.where(u2c, payload2, payload)
@@ -901,16 +914,24 @@ class RxChain:
         return bits, iters, conv
 
     # ------------------------------------------------------------------
-    def llr_to_payload(self, llr: jnp.ndarray):
+    def llr_to_payload(self, llr: jnp.ndarray, data: jnp.ndarray = None,
+                       variance: jnp.ndarray = None):
         """Deinterleaved LLRs [B, nBits] -> LDPC decode -> CRC check
-        (parity/virtual-bit shuffle per telecom_system.cc:1300-1308)."""
+        (parity/virtual-bit shuffle per telecom_system.cc:1300-1308).
+        When bicm_iters > 0 and the equalized data symbols + variance are
+        provided, non-converged rows run the iterative demapping-decoding
+        loop (_bicm_decode) before the CRC check."""
         g = self.geom
-        llr_n = jnp.concatenate([
-            llr[..., : g.n_real],
-            llr[..., : g.n_virtual],
-            llr[..., g.n_real: g.n_real + g.ldpc_p],
-        ], axis=-1).astype(jnp.float32)
-        bits, iters, conv = self._ldpc_decode(llr_n, g.spec.ldpc_rate_num)
+        if self.bicm_iters > 0 and data is not None:
+            bits, iters, conv = self._bicm_decode(llr, data, variance)
+        else:
+            llr_n = jnp.concatenate([
+                llr[..., : g.n_real],
+                llr[..., : g.n_virtual],
+                llr[..., g.n_real: g.n_real + g.ldpc_p],
+            ], axis=-1).astype(jnp.float32)
+            bits, iters, conv = self._ldpc_decode(llr_n,
+                                                  g.spec.ldpc_rate_num)
         real_bits = jnp.bitwise_xor(bits[..., : g.n_real], self._dispersal[None])
         all_zeros = jnp.all(real_bits[..., : (g.n_real // 8) * 8] == 0, axis=-1)
         crc_bits = real_bits[..., : self._crc_nbits]

@@ -134,6 +134,134 @@ class DeviceStreamPool:
         return out
 
 
+class FusedDevicePool:
+    """Serving pool with ONE host-visible dispatch and ONE D2H per round.
+
+    The round-4 measurement (docs/serve_r4.json) showed the serving loop
+    orders of magnitude below the kernel rate with the decomposition
+    stopping at "tunnel H2D". This pool removes every other host-visible
+    round-trip so the budget has exactly three line items a bench can
+    measure and sum (tools/serve_bench.py --budget):
+
+      1. H2D: the new chunk (the information-theoretic minimum ingest)
+      2. one fused dispatch: window roll + full-batch receive + in-graph
+         frames_to_read arming (the reference capture-prep countdown,
+         audioio.c:999-1069 / arq_common.cc:2690-2730 — here as a donated
+         int32 vector in HBM)
+      3. one packed D2H: payload bytes + crc + delay + freq + snr + iters
+         bitcast into a single uint8 row per channel
+
+    Differences vs DeviceStreamPool: every channel is decoded every round
+    (no gather/bucketing — in lockstep uniform-block serving all channels
+    are ready each round anyway, and skipping the gather removes a
+    dispatch); non-ready rows are decoded-and-masked in-graph. next_block
+    (double buffering) uploads round r+1's chunk right after round r's
+    dispatch is issued, so on a real PCIe path the transfer runs under the
+    decode (through the serialized axon tunnel it measures the same).
+    """
+
+    def __init__(self, geom: ModeGeometry, n_channels: int,
+                 rx: RxChain | None = None, idle_rearm: int = 4):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.geom = geom
+        self.rx = rx or RxChain(geom)
+        g = geom
+        self.buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        self.sym_len = g.nofdm * g.interp
+        self.frame_syms = g.nsymb + g.preamble_nsymb
+        self.n_channels = n_channels
+        self.idle_rearm = idle_rearm
+        self.frame_bytes = g.frame_bytes
+        self._jax = jax
+        self._jnp = jnp
+        self.windows = jnp.zeros((n_channels, self.buf_len), jnp.float32)
+        self.ftr = jnp.full((n_channels,), g.buffer_nsymb, jnp.int32)
+        self._pending = None
+        self.frames_decoded = 0
+        self.batched_dispatches = 0
+        sym_len, frame_syms, idle = self.sym_len, self.frame_syms, idle_rearm
+        rx_chain = self.rx
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _round(windows, ftr, chunk):
+            n = chunk.shape[-1]
+            k = n // sym_len
+            win2 = jnp.concatenate([windows[:, n:], chunk], axis=-1)
+            ready = ftr <= k
+            res = rx_chain.receive_fn(win2)
+            ok = res.crc_ok & ready
+            rearm = jnp.where(ok, res.delay // sym_len + frame_syms, idle)
+            ftr2 = jnp.where(ready, jnp.maximum(rearm, 1),
+                             jnp.maximum(ftr - k, 0))
+
+            def b4(x, dt):          # [C] scalar field -> 4 uint8 columns
+                return jax.lax.bitcast_convert_type(
+                    x.astype(dt)[:, None], jnp.uint8).reshape(-1, 4)
+
+            packed = jnp.concatenate([
+                res.payload.astype(jnp.uint8),
+                ok.astype(jnp.uint8)[:, None],
+                b4(res.delay, jnp.int32),
+                b4(res.freq_offset, jnp.float32),
+                b4(res.snr_db, jnp.float32),
+                b4(res.iters, jnp.int32),
+                b4(res.sync_metric, jnp.float32),
+            ], axis=-1)
+            return win2, ftr2, packed
+
+        self._round = _round
+
+    def prefetch(self, block: np.ndarray) -> None:
+        """Start uploading the NEXT round's chunk (double buffering)."""
+        self._pending = self._jax.device_put(
+            self._jnp.asarray(block, self._jnp.float32))
+
+    def round(self, block: np.ndarray, next_block: np.ndarray = None):
+        """One serving round. Returns the packed on-device result array
+        [C, frame_bytes+21]; unpack() reads it to host in one D2H."""
+        jnp = self._jnp
+        assert block.shape[0] == self.n_channels
+        assert block.shape[1] % self.sym_len == 0, \
+            "FusedDevicePool feeds whole symbols"
+        chunk = self._pending if self._pending is not None else \
+            self._jax.device_put(jnp.asarray(block, jnp.float32))
+        self._pending = None
+        self.windows, self.ftr, packed = self._round(self.windows, self.ftr,
+                                                     chunk)
+        self.batched_dispatches += 1
+        if next_block is not None:
+            # issue the next upload while the round computes (async
+            # dispatch: _round's results have not been fetched yet)
+            self.prefetch(next_block)
+        return packed
+
+    def unpack(self, packed) -> list[tuple[int, RxResult]]:
+        """ONE D2H of the packed result block -> per-channel RxResults."""
+        fb = self.frame_bytes
+        flat = np.asarray(packed)                  # the single D2H
+        payload = flat[:, :fb]
+        ok = flat[:, fb].astype(bool)
+        off = fb + 1
+        delay = flat[:, off:off + 4].view(np.int32)[:, 0]
+        freq = flat[:, off + 4:off + 8].view(np.float32)[:, 0]
+        snr = flat[:, off + 8:off + 12].view(np.float32)[:, 0]
+        iters = flat[:, off + 12:off + 16].view(np.int32)[:, 0]
+        metric = flat[:, off + 16:off + 20].view(np.float32)[:, 0]
+        out = []
+        for c in np.flatnonzero(ok):
+            i = int(c)
+            out.append((i, RxResult(
+                payload[i: i + 1], ok[i: i + 1], delay[i: i + 1],
+                freq[i: i + 1], snr[i: i + 1], iters[i: i + 1],
+                metric[i: i + 1], np.zeros(1, np.float32))))
+        self.frames_decoded += len(out)
+        return out
+
+
 class StreamPool:
     def __init__(self, geom: ModeGeometry, n_channels: int,
                  rx: RxChain | None = None, idle_rearm: int = 4):

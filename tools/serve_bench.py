@@ -138,6 +138,129 @@ def bench_pool(n_ch: int, rounds: int, log, kind: str = "host") -> dict:
     }
 
 
+def bench_fused(n_ch: int, rounds: int, log) -> dict:
+    """FusedDevicePool with a MEASURED line-item budget (VERDICT r4 item 4):
+    every round is exactly {1 chunk H2D, 1 fused dispatch, 1 packed D2H};
+    each item is measured independently and the budget is checked against
+    the measured wall time per round. pool_vs_kernel_ex_transfer compares
+    the fused dispatch's compute rate (difference-of-chains, no per-round
+    D2H) against the kernel rate at the same batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from mercury_tpu.core.geometry import build_geometry
+    from mercury_tpu.modem.tx import TxChain
+    from mercury_tpu.scale.serve import FusedDevicePool
+
+    g = build_geometry(CFG)
+    tx = TxChain(g)
+    pool = FusedDevicePool(g, n_ch)
+    sym = pool.sym_len
+    frame_syms = pool.frame_syms
+    buf_syms = g.buffer_nsymb
+    rng = np.random.default_rng(100 + n_ch)
+    payload = rng.integers(0, 256, (n_ch, g.frame_bytes)).astype(np.uint8)
+    frames = np.asarray(tx.transmit(payload), np.float32)
+    flen = frames.shape[1]
+    lead_syms = 2
+    chunk_syms = max(frame_syms + lead_syms + 2,
+                     -(-(buf_syms + frame_syms + lead_syms) // 2))
+    chunk = chunk_syms * sym
+    base_noise = (2e-3 * rng.standard_normal((n_ch, chunk))
+                  ).astype(np.float32)
+
+    def round_block(r: int) -> np.ndarray:
+        blk = base_noise + np.float32(r * 1e-6)
+        blk[:, lead_syms * sym: lead_syms * sym + flen] += frames
+        return blk
+
+    # priming (compile + fill)
+    t_prime = time.perf_counter()
+    pool.round(np.zeros((n_ch, max(buf_syms - chunk_syms, 0) * sym),
+                        np.float32))
+    packed = pool.round(round_block(0))
+    n_prime = len(pool.unpack(packed))
+    t_prime = time.perf_counter() - t_prime
+    log(f"  priming: {n_prime}/{n_ch} decoded ({t_prime:.1f}s incl. compile)")
+
+    # measured end-to-end rounds (with double-buffered prefetch)
+    decoded = 0
+    t0 = time.perf_counter()
+    for r in range(1, rounds + 1):
+        nxt = round_block(r + 1) if r < rounds else None
+        packed = pool.round(round_block(r), next_block=nxt)
+        decoded += len(pool.unpack(packed))
+    wall = (time.perf_counter() - t0) / rounds
+
+    # --- budget line items, each measured on its own ---
+    # (a) dispatch round-trip floor: no-op jit + tiny D2H
+    noop = jax.jit(lambda x: x + 1.0)
+    z1 = jnp.zeros((1,), jnp.float32)
+    np.asarray(noop(z1))
+    t_r = time.perf_counter()
+    for _ in range(8):
+        np.asarray(noop(z1))
+    t_rtt = (time.perf_counter() - t_r) / 8
+    # (b) chunk H2D, blocked
+    up = np.zeros((n_ch, chunk), np.float32)
+    jax.block_until_ready(jax.device_put(up))
+    t_h = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(up))
+    t_h2d = (time.perf_counter() - t_h) / 3
+    # (c) fused dispatch compute rate: difference-of-chains, D2H barrier of
+    # a tiny slice only (bench.py methodology) — per-round D2H excluded
+    chunk_dev = jax.device_put(jnp.asarray(round_block(1), jnp.float32))
+
+    def chain(n):
+        t0c = time.perf_counter()
+        pk = None
+        for i in range(n):
+            pool.windows, pool.ftr, pk = pool._round(
+                pool.windows, pool.ftr, chunk_dev + jnp.float32(i * 1e-7))
+        np.asarray(pk[:1, :4])
+        return time.perf_counter() - t0c
+
+    chain(1)
+    reps = 3
+    t_fused = max(chain(2 * reps) - chain(reps), 1e-9) / reps
+    # (d) packed D2H, on a ready result
+    pk = pool.round(round_block(2))
+    jax.block_until_ready(pk)
+    t_d = time.perf_counter()
+    flat = np.asarray(pk)
+    t_d2h = time.perf_counter() - t_d
+
+    budget_sum = t_h2d + t_fused + t_d2h
+    buf_bytes = n_ch * pool.buf_len * 4
+    return {
+        "pool": "fused",
+        "n_channels": n_ch,
+        "rounds": rounds,
+        "chunk_samples_per_channel": chunk,
+        "decoded_per_fed_frame": round(decoded / (n_ch * rounds), 4),
+        "wall_s_per_round": round(wall, 4),
+        "budget": {
+            "h2d_chunk_s": round(t_h2d, 4),
+            "fused_dispatch_compute_s": round(t_fused, 4),
+            "d2h_packed_s": round(t_d2h, 4),
+            "dispatch_rtt_floor_s": round(t_rtt, 4),
+            "sum_s": round(budget_sum, 4),
+            "sum_vs_wall": round(budget_sum / max(wall, 1e-9), 3),
+            "h2d_bytes": int(up.nbytes),
+            "d2h_bytes": int(flat.nbytes),
+            "dispatches_per_round": 1,
+        },
+        "pool_ingest_msamples_per_s": round(n_ch * chunk / wall / 1e6, 2),
+        "pool_processed_msamples_per_s": round(
+            n_ch * pool.buf_len / wall / 1e6, 2),
+        "fused_compute_msamples_per_s": round(
+            n_ch * pool.buf_len / t_fused / 1e6, 2),
+        "realtime_channels": int(n_ch * chunk / wall / 48000),
+        "buf_len": pool.buf_len,
+    }
+
+
 def bench_kernel(n_ch: int, log) -> dict:
     """Kernel-only rate at the same batch shape (difference-of-chains with
     D2H barrier — bench.py methodology)."""
@@ -185,8 +308,8 @@ def main() -> int:
     ap.add_argument("--channels", type=int, nargs="*",
                     default=[64, 256, 1024])
     ap.add_argument("--rounds", type=int, default=6)
-    ap.add_argument("--pools", nargs="*", default=["host", "device"])
-    ap.add_argument("--out", default="docs/serve_r4.json")
+    ap.add_argument("--pools", nargs="*", default=["fused", "device"])
+    ap.add_argument("--out", default="docs/serve_r5.json")
     args = ap.parse_args()
 
     import jax
@@ -209,11 +332,24 @@ def main() -> int:
         kern = bench_kernel(n_ch, log)
         for kind in args.pools:
             log(f"=== {n_ch} channels ({kind} pool) ===")
-            row = bench_pool(n_ch, args.rounds, log, kind=kind)
-            row.update(kern)
-            row["pool_vs_kernel"] = round(
-                row["pool_processed_msamples_per_s"]
-                / row["kernel_msamples_per_s"], 3)
+            if kind == "fused":
+                row = bench_fused(n_ch, args.rounds, log)
+                row.update(kern)
+                # the VERDICT r4 item-4 metric: serving compute (transfer
+                # excluded by construction of the chained measurement) vs
+                # the kernel at the same batch shape
+                row["pool_vs_kernel_ex_transfer"] = round(
+                    row["fused_compute_msamples_per_s"]
+                    / row["kernel_msamples_per_s"], 3)
+                row["pool_vs_kernel"] = round(
+                    row["pool_processed_msamples_per_s"]
+                    / row["kernel_msamples_per_s"], 3)
+            else:
+                row = bench_pool(n_ch, args.rounds, log, kind=kind)
+                row.update(kern)
+                row["pool_vs_kernel"] = round(
+                    row["pool_processed_msamples_per_s"]
+                    / row["kernel_msamples_per_s"], 3)
             out["results"].append(row)
             log(json.dumps(row))
             with open(args.out, "w") as f:
