@@ -359,6 +359,21 @@ class ArqNode:
             if audio_s > 0:
                 self.processing_load = (_time.perf_counter() - _t0) / audio_s
 
+    def _pattern_hit(self, detector, samples: np.ndarray) -> bool:
+        """Tone-pattern decision: metric >= threshold AND matched symbols
+        >= NSYMB/2 (reference arq_common.cc:2582-2583 / 2861-2862). The
+        matched-count gate is load-bearing: the g=5/g=7 Welch-Costas ACK
+        and BREAK sequences collide at 2 of 16 hop positions ((5*7^-1)^p
+        = 8^p = 1 mod 17 at p=0,8), so the CROSS pattern scores metric
+        ~1.0 >= both thresholds at high SNR — but only ~2 matched
+        symbols. Measured: docs/pattern_detect_r5.json (metric-only
+        cross-detection Pdet hits 1.0 above -1 dB; the gate zeroes it
+        while leaving the true-pattern waterfall unchanged)."""
+        metric, matched = detector(samples[None])
+        return (float(np.asarray(metric)[0]) >= self._pat.threshold
+                and int(np.asarray(matched)[0])
+                >= self._pat.ack_mfsk.ack_pattern_nsymb // 2)
+
     def _on_samples(self, samples: np.ndarray, now: float) -> None:
         self._last_now = now
         if self.link_status in (P.LISTENING, P.IDLE, P.DROPPED):
@@ -367,13 +382,11 @@ class ArqNode:
             self._measure_idle(samples, update_floor=True)
         if self._await_ack_kind is not None:
             # expecting an ACK: tone pattern first (cheap, config-independent)
-            metric, _ = self._pat.detect_ack(samples[None])
-            if float(np.asarray(metric)[0]) >= self._pat.threshold:
+            if self._pattern_hit(self._pat.detect_ack, samples):
                 self._on_ack_pattern(now)
                 return
             # BREAK while waiting
-            bmetric, _ = self._pat.detect_break(samples[None])
-            if float(np.asarray(bmetric)[0]) >= self._pat.threshold:
+            if self._pattern_hit(self._pat.detect_break, samples):
                 self._on_break_detected(now)
                 return
             # LDPC-framed ack (ACK_MULTI / ACK_RANGE / ACK_CONTROL) at the
@@ -404,8 +417,7 @@ class ArqNode:
                     and not got_ctrl):
                 # nothing decoded — check for an emergency BREAK pattern
                 # (reference: arq_common.cc:2855-2869)
-                bmetric, _ = self._pat.detect_break(samples[None])
-                if float(np.asarray(bmetric)[0]) >= self._pat.threshold:
+                if self._pattern_hit(self._pat.detect_break, samples):
                     self._on_break_detected(now)
                 else:
                     # undecodable window while connected: signal strength is

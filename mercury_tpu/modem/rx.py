@@ -109,6 +109,14 @@ class RxChain:
         self._c2f_refine_offsets = True   # add +-grid/2 to the refine bank
         # whole-buffer scan grid spacing for the pruned/full profiles
         self._deep_grid_hz = 30.0 if deep_profile == "pruned" else 15.0
+        # nomination-scan pruning (round 5): with the coherent re-score +
+        # pilot arbitration doing the final pick, the noncoherent whole-
+        # buffer scan only has to SURFACE the true start among topn peaks
+        # per CFO row — so its cost (kernel work ∝ grid rows × preamble
+        # symbols) can be pruned independently of sensitivity. None = all
+        # preamble symbols (round-4 behavior); validated settings in
+        # docs/deep_scan_r5.md.
+        self._deep_scan_lp = None
         # Coherent deep acquisition (round 5, docs/acq_floor_r5.md): the
         # noncoherent scan NOMINATES deep_topn distinct peaks per CFO row;
         # a fully-coherent re-score over a fine static CFO grid (inter-
@@ -1286,10 +1294,19 @@ class RxChain:
                 gsf = float(self._deep_grid_hz)
                 n_h = int(round(span / gsf))
                 grid_f = np.arange(-n_h, n_h + 1) * gsf
+                # nomination-only scan may use a leading subset of the
+                # preamble symbols (deep_coh re-scores ALL symbols
+                # coherently afterwards, so scan sensitivity only gates
+                # whether the true start makes the topn shortlist)
+                lp_scan = lp
+                tmpl_scan = tmpl_d
+                if deep_coh and self._deep_scan_lp:
+                    lp_scan = min(int(self._deep_scan_lp), lp)
+                    tmpl_scan = tmpl_d[:lp_scan]
                 bank_g = np.stack([
-                    tmpl_d * np.exp(-1j * (2 * np.pi / g.fs)
-                                    * f_h * t_tmpl)[None]
-                    for f_h in grid_f]).astype(self.np_cdtype)  # [H, Lp, S]
+                    tmpl_scan * np.exp(-1j * (2 * np.pi / g.fs)
+                                       * f_h * t_tmpl)[None]
+                    for f_h in grid_f]).astype(self.np_cdtype)  # [H, Lp', S]
                 n_gd = n_ts // mf_s             # whole buffer at mf_d rate
                 win_g = (n_gd - lp * s_d) // 2
                 seg_g = bb_ts[..., : (2 * win_g + lp * s_d) * mf_s: mf_s]

@@ -347,8 +347,14 @@ def coherent_preamble_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
                    in_axes=(0, 0))(bb_ts, idx0)
     seg = seg[..., ::mf_s]                         # [B, N, Lp*S_d]
     bk = np.conj(np.asarray(bank)).reshape(f_n, lp * s_d)
-    # complex correlation as two real matmuls per part (MXU-friendly)
-    c = jnp.einsum("bns,fs->bnf", seg, jnp.asarray(bk, dtype=seg.dtype))
+    # complex correlation as two real matmuls per part (MXU-friendly).
+    # HIGHEST precision: at the acquisition floor the signal sits ~10 dB
+    # under the noise and the coherent gain must come out of a ~2400-long
+    # dot product — default bf16 multiplies cost a measured 0.25 dB of
+    # campaign waterfall on-chip (round 5; same lesson as the round-4
+    # estimation operator)
+    c = jnp.einsum("bns,fs->bnf", seg, jnp.asarray(bk, dtype=seg.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     e = jnp.sum(jnp.real(seg) ** 2 + jnp.imag(seg) ** 2, axis=-1)  # [B, N]
     t2 = float(np.sum(np.abs(bank[0]) ** 2))       # rotation-invariant
     return jnp.abs(c) / jnp.sqrt(jnp.maximum(e[..., None] * t2, 1e-30))

@@ -242,7 +242,11 @@ class FusedDevicePool:
     def unpack(self, packed) -> list[tuple[int, RxResult]]:
         """ONE D2H of the packed result block -> per-channel RxResults."""
         fb = self.frame_bytes
-        flat = np.asarray(packed)                  # the single D2H
+        # single D2H; ascontiguousarray because the axon relay can hand
+        # back a tiled/strided layout for larger arrays, and the .view
+        # reinterprets below need byte-contiguous rows (observed at 256
+        # channels in round 5: "last axis must be contiguous")
+        flat = np.ascontiguousarray(np.asarray(packed))
         payload = flat[:, :fb]
         ok = flat[:, fb].astype(bool)
         off = fb + 1

@@ -59,9 +59,33 @@ def test_no_false_alarm_on_noise(sig):
 
 
 def test_break_not_detected_as_ack(sig):
-    """Different Welch-Costas generators -> near-zero cross correlation."""
+    """The g=5/g=7 Welch-Costas sequences collide at 2 of 16 hop positions
+    ((5*7^-1)^p = 8^p = 1 mod 17 at p=0,8), so the RAW cross metric reaches
+    ~1.0 >= threshold at high SNR (measured: docs/pattern_detect_r5.json) —
+    the matched-count >= NSYMB/2 gate (reference arq_common.cc:2582-2583)
+    is what rejects the cross pattern, not the metric threshold."""
     buf = _buffer(sig, sig.break_passband, 0.0, jax.random.key(3))
-    ack_metric, _ = sig.detect_ack(buf)
-    brk_metric, _ = sig.detect_break(buf)
+    ack_metric, ack_matched = sig.detect_ack(buf)
+    brk_metric, brk_matched = sig.detect_break(buf)
+    # true pattern: detected by the full gate
     assert (np.asarray(brk_metric) >= sig.threshold).all()
+    assert (np.asarray(brk_matched) >= 8).all()
+    # cross pattern: metric alone may cross threshold; the gate must reject
+    assert (np.asarray(ack_matched) < 8).all(), np.asarray(ack_matched)
     assert (np.asarray(ack_metric) < np.asarray(brk_metric) * 0.5).all()
+
+
+def test_break_while_awaiting_ack_not_swallowed():
+    """Commander awaiting an ACK checks the ACK detector FIRST; without the
+    matched-count gate a high-SNR BREAK waveform cross-fires it (metric
+    ~1.0 >= 0.65) and the emergency BREAK is swallowed as a false ACK.
+    Drive ArqNode._pattern_hit directly with a clean BREAK window."""
+    from mercury_tpu.link import protocol as P
+    from mercury_tpu.link.node import ArqNode
+
+    node = ArqNode("PP5XX", P.COMMANDER)
+    pat = node._pat
+    buf = np.asarray(_buffer(pat, pat.break_passband, 5.0,
+                             jax.random.key(9), b=1))[0]
+    assert not node._pattern_hit(pat.detect_ack, buf)
+    assert node._pattern_hit(pat.detect_break, buf)

@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Deep-sync nomination-scan pruning A/B (VERDICT r4 item 6).
+
+cfg1-4 ran at ~1900 Ms/s vs 2865-4112 for the non-deep siblings; the gap
+is the whole-buffer noncoherent matched-filter scan, whose fused-kernel
+work scales with (CFO grid rows x preamble symbols). Round 5's coherent
+re-score + pilot arbitration (docs/acq_floor_r5.md) made the scan
+NOMINATION-ONLY — the true start merely has to surface among deep_topn
+peaks per CFO row — so its cost can be pruned independently of final
+sensitivity:
+
+  - L2:    scan with the first 2 preamble symbols only (kernel Lp 4->2)
+  - G40:   40 Hz scan grid (wide span rows 9->7)
+  - L2G40: both
+
+Protocol: difference-of-chains ((t_2n - t_n)/n) with a D2H barrier, the
+round-4 session-2 discipline; FER sensitivity A/B at the cfg0 passband
+acquisition floor (the worst-case preamble-energy mode) on the same
+realizations.  Writes docs/deep_scan_r5.json.
+
+    python tools/deep_scan_r5.py            # chip
+    JAX_PLATFORMS=cpu python ... --fer-only # CPU FER check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = 256
+VARIANTS = {
+    "base": {},
+    "L2": {"_deep_scan_lp": 2},
+    "L2G40": {"_deep_scan_lp": 2, "_deep_grid_hz": 40.0},
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/deep_scan_r5.json")
+    ap.add_argument("--fer-frames", type=int, default=512)
+    ap.add_argument("--fer-only", action="store_true")
+    ap.add_argument("--skip-fer", action="store_true")
+    ap.add_argument("--budget", type=float, default=5400.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mercury_tpu.channel import sim
+    from mercury_tpu.core.geometry import build_geometry
+    from mercury_tpu.modem.rx import RxChain
+    from mercury_tpu.modem.tx import TxChain
+
+    t_start = time.time()
+
+    def left() -> float:
+        return args.budget - (time.time() - t_start)
+
+    seq = [0]
+
+    def rx_chain(rx, x, n):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            seq[0] += 1
+            r = rx.receive(x + jnp.float32(seq[0] * 1e-7))
+        np.asarray(r.payload[:1, :4])
+        return time.perf_counter() - t0, r
+
+    def diff_ms(rx, x, n=5):
+        rx_chain(rx, x, 1)
+        t_n, _ = rx_chain(rx, x, n)
+        t_2n, res = rx_chain(rx, x, 2 * n)
+        return max(t_2n - t_n, 1e-9) / n * 1e3, res
+
+    rng = np.random.default_rng(0)
+
+    def make_rx(g, variant):
+        rx = RxChain(g)
+        for k, v in VARIANTS[variant].items():
+            setattr(rx, k, v)
+        return rx
+
+    def make_buf(g, tx):
+        pay = rng.integers(0, 256, (B, g.frame_bytes)).astype(np.uint8)
+        buf_len = g.nofdm * g.buffer_nsymb * g.interp
+        delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
+        return jnp.asarray(sim.awgn_passband(
+            jax.random.key(1), tx.transmit(pay), sim.sigma_for_esn0(30.0),
+            delay, buf_len), jnp.float32), buf_len
+
+    out = {"meta": {"platform": platform, "batch": B,
+                    "protocol": "difference-of-chains (t_2n-t_n)/n, "
+                                "D2H barrier, esn0 30 dB",
+                    "variants": {k: {kk: vv for kk, vv in v.items()}
+                                 for k, v in VARIANTS.items()}},
+           "throughput": [], "fer": []}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+
+    done_tp = {(r["config"], r["variant"]) for r in out["throughput"]}
+
+    def save():
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, args.out)
+
+    if not args.fer_only:
+        # stage 1: all variants on cfg0 + cfg3; stage 2: winner on the rest
+        jobs = [(0, v) for v in VARIANTS] + [(3, v) for v in VARIANTS]
+        for cfg, variant in jobs:
+            if (cfg, variant) in done_tp or left() < 300:
+                continue
+            g = build_geometry(cfg)
+            tx = TxChain(g)
+            rx = make_rx(g, variant)
+            buf, buf_len = make_buf(g, tx)
+            t_c = time.perf_counter()
+            ms, res = diff_ms(rx, buf)
+            compile_s = time.perf_counter() - t_c
+            row = {"config": cfg, "variant": variant,
+                   "ms_per_call": round(ms, 3),
+                   "msamples_per_s": round(B * buf_len / ms / 1e3, 1),
+                   "crc_ok_frac": round(float(np.asarray(
+                       res.crc_ok).mean()), 4),
+                   "compile_plus_warm_s": round(compile_s, 1)}
+            out["throughput"].append(row)
+            print(f"cfg{cfg} {variant}: {ms:.2f} ms/call = "
+                  f"{row['msamples_per_s']} Ms/s (crc {row['crc_ok_frac']})",
+                  flush=True)
+            save()
+
+        # pick the fastest variant that kept crc intact on both probes
+        best, best_ms = "base", float("inf")
+        for v in VARIANTS:
+            rows = [r for r in out["throughput"]
+                    if r["variant"] == v and r["config"] in (0, 3)]
+            if len(rows) < 2 or any(r["crc_ok_frac"] < 1.0 for r in rows):
+                continue
+            tot = sum(r["ms_per_call"] for r in rows)
+            if tot < best_ms:
+                best, best_ms = v, tot
+        out["meta"]["winner_stage1"] = best
+        print(f"stage-1 winner: {best}", flush=True)
+
+        for cfg in (1, 2, 4):
+            for variant in {"base", best}:
+                if (cfg, variant) in done_tp or left() < 300:
+                    continue
+                g = build_geometry(cfg)
+                tx = TxChain(g)
+                rx = make_rx(g, variant)
+                buf, buf_len = make_buf(g, tx)
+                ms, res = diff_ms(rx, buf)
+                row = {"config": cfg, "variant": variant,
+                       "ms_per_call": round(ms, 3),
+                       "msamples_per_s": round(B * buf_len / ms / 1e3, 1),
+                       "crc_ok_frac": round(float(np.asarray(
+                           res.crc_ok).mean()), 4)}
+                out["throughput"].append(row)
+                print(f"cfg{cfg} {variant}: {ms:.2f} ms/call = "
+                      f"{row['msamples_per_s']} Ms/s", flush=True)
+                save()
+
+    if not args.skip_fer:
+        # FER sensitivity: cfg0 at the acquisition floor (docs/acq_floor_r5:
+        # effective -9.75 and -10.0 dB), same realizations both variants
+        from mercury_tpu.channel.ber import BerHarness
+
+        done_fer = {(r["variant"], r["eff_esn0"]) for r in out["fer"]}
+        for variant in ("base", out["meta"].get("winner_stage1", "L2")):
+            h = BerHarness(0, batch=256)
+            for k, v in VARIANTS[variant].items():
+                setattr(h.rx, k, v)
+            delta = h.front_end_delta()
+            for eff in (-9.75, -10.0):
+                if (variant, eff) in done_fer or left() < 200:
+                    continue
+                p = h.run_point(eff - delta, args.fer_frames)
+                row = {"variant": variant, "eff_esn0": eff,
+                       "fer": round(p.fer, 4), "frames": p.frames,
+                       "front_end_delta": round(delta, 3)}
+                out["fer"].append(row)
+                print(f"FER cfg0 {variant} @ eff {eff:+.2f}: {p.fer:.4f} "
+                      f"({p.frames} fr)", flush=True)
+                save()
+            del h
+
+    save()
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -323,6 +323,28 @@ int main(int argc, char **argv) {
     return 0;
   }
 
+  // Punctured-LDPC BER oracle: the reference's own punctured BER test
+  // (main.cc:312-318 `-P` -> test_puncture_nBits; LLRs past the puncture
+  // point zeroed at telecom_system.cc:1184-1189). Measures whether the
+  // REFERENCE BUILD itself holds its documented "same waterfall as full
+  // frame" claim (telecom_system.cc:2968-2972) for the MFSK ctrl sizes.
+  if (std::string(argv[1]) == "berctrl" && argc >= 6) {
+    static cl_telecom_system ts;
+    ts.operation_mode = ARQ_MODE;
+    int cfg = atoi(argv[2]);
+    float esn0 = atof(argv[3]);
+    int nframes = atoi(argv[4]);
+    ts.load_configuration(cfg);
+    ts.test_puncture_nBits = atoi(argv[5]);
+    cl_error_rate er = ts.passband_test_EsN0(esn0, nframes);
+    printf("BERCTRL_RESULT cfg=%d punct=%d esn0=%.2f frames=%.0f ferrors=%.0f fer=%.4f ber=%.6f\n",
+           cfg, ts.test_puncture_nBits, esn0, er.Frames_total,
+           er.Error_frames_total,
+           er.Error_frames_total / er.Frames_total,
+           er.Error_bits_total / er.Bits_total);
+    return 0;
+  }
+
   // BER harness mode: run the reference's own passband Monte-Carlo test.
   if (std::string(argv[1]) == "ber" && argc >= 5) {
     static cl_telecom_system ts;

@@ -99,16 +99,26 @@ def main() -> int:
                                                   ).astype(np.float32)
                 buf[:, delay: delay + n_pat] += wave[None]
                 for d_name, det in detectors.items():
-                    m, _cnt = det(jnp.asarray(buf))
-                    mets[d_name].append(np.asarray(m))
+                    m, cnt = det(jnp.asarray(buf))
+                    mets[d_name].append((np.asarray(m), np.asarray(cnt)))
                 done += b
             row = {"tx": tx_name, "snr_db": float(snr)}
+            # the link layer gates metric >= threshold AND matched >=
+            # NSYMB/2 (reference arq_common.cc:2582-2583, 2861-2862) —
+            # report both, plus the OFDM threshold 1.0 variant
+            half = sig.ack_mfsk.ack_pattern_nsymb // 2
             for d_name in detectors:
-                m = np.concatenate(mets[d_name])
+                m = np.concatenate([x[0] for x in mets[d_name]])
+                c = np.concatenate([x[1] for x in mets[d_name]])
                 row[f"pdet_{d_name}"] = round(float((m >= thr).mean()), 4)
+                row[f"pdet_{d_name}_gated"] = round(float(
+                    ((m >= thr) & (c >= half)).mean()), 4)
+                row[f"pdet_{d_name}_gated_thr1"] = round(float(
+                    ((m >= 1.0) & (c >= half)).mean()), 4)
                 row[f"metric_{d_name}"] = [round(float(m.mean()), 3),
                                            round(float(m.min()), 3),
                                            round(float(m.max()), 3)]
+                row[f"matched_{d_name}_mean"] = round(float(c.mean()), 2)
             results["detection"].append(row)
             print(f"tx={tx_name} snr={snr:+.0f}: "
                   f"Pdet(ack)={row['pdet_ack']:.3f} "
@@ -119,20 +129,24 @@ def main() -> int:
     p_sig = float(np.mean(waves["ack"] ** 2))
     sigma = sigma_for(-10.0, p_sig)
     fa = {d: 0 for d in detectors}
+    fa_gated = {d: 0 for d in detectors}
     max_m = {d: 0.0 for d in detectors}
+    half = sig.ack_mfsk.ack_pattern_nsymb // 2
     done = 0
     while done < args.fa_trials:
         b = min(args.batch, args.fa_trials - done)
         buf = sigma * rng.standard_normal((b, buf_len)).astype(np.float32)
         for d_name, det in detectors.items():
-            m, _ = det(jnp.asarray(buf))
-            m = np.asarray(m)
+            m, cnt = det(jnp.asarray(buf))
+            m, cnt = np.asarray(m), np.asarray(cnt)
             fa[d_name] += int((m >= thr).sum())
+            fa_gated[d_name] += int(((m >= thr) & (cnt >= half)).sum())
             max_m[d_name] = max(max_m[d_name], float(m.max()))
         done += b
     for d_name in detectors:
         results["false_alarm"][d_name] = {
             "trials": args.fa_trials, "alarms": fa[d_name],
+            "alarms_gated": fa_gated[d_name],
             "rate": round(fa[d_name] / args.fa_trials, 5),
             "max_noise_metric": round(max_m[d_name], 3),
             "threshold": thr}
