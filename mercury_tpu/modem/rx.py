@@ -61,7 +61,7 @@ class RxChain:
                  ctrl: bool = False, cfo_range: str = "wide",
                  deep_sync: bool | None = None, ldpc_algo: str = "layered",
                  deep_profile: str = "pruned",
-                 deep_coherent: bool = True, deep_topn: int = 8,
+                 deep_coherent: bool = True, deep_topn: int = 16,
                  dd: bool | None = None, bicm_iters: int | None = None,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50,
@@ -127,10 +127,22 @@ class RxChain:
         self.deep_coherent = bool(deep_coherent)
         self._deep_topn = int(deep_topn)
         self._deep_coh_grid_hz = 4.0
+        # CRC-gated second-candidate decode for the deep-acquisition path
+        # (round 5): when the primary decode fails CRC, decode once more at
+        # the runner-up pilot-arbitration start (outside the winner's GI
+        # plateau). lax.cond keeps clean-batch throughput untouched.
+        self._deep_rescue = True
         # pilot-extended arbitration: re-score the top-M coherent
         # candidates against the pilot-only symbol waveforms (7x the
-        # preamble's integrable energy at cfg0 — sync.pilot_rescore)
-        self._deep_pil_topm = 6
+        # preamble's integrable energy at cfg0 — sync.pilot_rescore).
+        # M=32 with topn=16 nominees (round 5): the acq-floor ranks put
+        # the true start at coherent ranks 8-15+ in ~1/3 of residual
+        # misses (tools/acq_floor_r5.py) — letting the higher-energy pilot
+        # metric arbitrate the whole deep shortlist walks cfg0 @ eff
+        # -9.75 down 0.109 -> 0.098 (M=16) -> 0.090 (topn12/M=24) ->
+        # 0.082 (topn16/M=32) on identical realizations (CPU A/B ladder;
+        # chip confirm in docs/ber_r5.json)
+        self._deep_pil_topm = 32
         if ldpc_algo not in ("spa", "minsum", "layered", "layered-minsum"):
             raise ValueError("ldpc_algo must be 'spa', 'minsum', 'layered' "
                              "or 'layered-minsum'")
@@ -1276,6 +1288,7 @@ class RxChain:
             deep_coh = (self.deep_sync and not deep_c2f
                         and self.deep_coherent)
             d_deep = None
+            deep_cand2 = None       # (delay2, cfo2, have2) rescue candidate
             if self.deep_sync and not deep_c2f:
                 # Global known-preamble acquisition (deep sync): below ~-3 dB
                 # effective Es/N0 the blind SC autocorrelation loses SNR
@@ -1376,6 +1389,26 @@ class RxChain:
                     coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
                         jnp.take_along_axis(f_top, pick_m[:, None],
                                             axis=1)[:, 0]]
+                    if self._deep_rescue:
+                        # CRC-gated rescue candidate (round 5): runner-up
+                        # pilot-arbitration start OUTSIDE the winner's GI
+                        # plateau — at the acquisition floor ~1/3 of the
+                        # residual misacquisitions carry the true start at
+                        # rank 2+ of this stack (tools/acq_floor_r5.py
+                        # misacq_rank_hist); decoding it costs nothing on
+                        # clean batches (lax.cond-gated below, the MFSK
+                        # second-candidate pattern)
+                        gi_w = g.ngi * g.interp
+                        far = jnp.abs(d_top - delay[:, None]) > gi_w
+                        sp2 = jnp.where(far, score_p, -jnp.inf)
+                        pick2 = jnp.argmax(sp2, axis=-1)        # [B]
+                        delay2 = jnp.take_along_axis(
+                            d_top, pick2[:, None], axis=1)[:, 0]
+                        cfo2 = jnp.asarray(grid_coh, self.real_dtype)[
+                            jnp.take_along_axis(f_top, pick2[:, None],
+                                                axis=1)[:, 0]]
+                        deep_cand2 = (delay2, cfo2,
+                                      jnp.any(far, axis=-1))
                 else:
                     flat_c = score_c.reshape(b, -1)
                     pick_c = jnp.argmax(flat_c, axis=-1)
@@ -1411,123 +1444,150 @@ class RxChain:
             if stage == "refine":
                 return delay, coarse_cfo, metric
 
-            # 2) polyphase data FIR over the frame segment only (mixer fused
-            #    into the slice); Moose CFO measured on the coarse-corrected
-            #    frame -> total f0
-            dec0 = self.extract_frame_decimated_pb(pb_buffer, delay,
-                                                   self.active_nsymb)
-            t_dec = (delay[:, None].astype(self.real_dtype)
-                     + jnp.arange(dec0.shape[-1], dtype=self.real_dtype) * g.interp)
-            rot_c = jnp.exp(1j * (2 * np.pi / g.fs)
-                            * coarse_cfo[:, None] * t_dec).astype(self.cdtype)
-            resid = sync.moose_cfo(dec0 * rot_c, g).astype(self.real_dtype)
-            freq_m = coarse_cfo + resid
-            freq_m = jnp.where(jnp.abs(freq_m) > 0.1, freq_m, 0.0)
+            def _decode_from(delay, coarse_cfo):
+                """Post-arbitration decode at one (start, coarse CFO)
+                hypothesis: extract + Moose + CFO-hypothesis select + LDPC.
+                Factored so the deep-acquisition rescue can run it on the
+                runner-up candidate under lax.cond."""
+                # 2) polyphase data FIR over the frame segment only (mixer fused
+                #    into the slice); Moose CFO measured on the coarse-corrected
+                #    frame -> total f0
+                dec0 = self.extract_frame_decimated_pb(pb_buffer, delay,
+                                                       self.active_nsymb)
+                t_dec = (delay[:, None].astype(self.real_dtype)
+                         + jnp.arange(dec0.shape[-1], dtype=self.real_dtype) * g.interp)
+                rot_c = jnp.exp(1j * (2 * np.pi / g.fs)
+                                * coarse_cfo[:, None] * t_dec).astype(self.cdtype)
+                resid = sync.moose_cfo(dec0 * rot_c, g).astype(self.real_dtype)
+                freq_m = coarse_cfo + resid
+                freq_m = jnp.where(jnp.abs(freq_m) > 0.1, freq_m, 0.0)
 
-            # 3) CFO hypotheses: correct by rotating the extracted frame
-            #    (equivalent to re-mixing at fc+f for narrowband f; the
-            #    reference re-runs the full mixer+FIR instead). Moose is
-            #    unambiguous only within ±half a subcarrier spacing
-            #    (±23.4 Hz); the ±1-subcarrier aliases extend coverage to
-            #    ≈±70 Hz (the reference's ±30 Hz grid search covers less).
-            #    Pick the hypothesis with the lowest pilot variance, then run
-            #    the expensive LDPC decode once — a parallel, fixed-shape
-            #    select instead of the reference's sequential retry trials.
-            subc = self.real_dtype(g.bandwidth / g.nc)
-            if self.cfo_range == "wide":
-                hyps = (freq_m, jnp.zeros_like(freq_m),
-                        freq_m + subc, freq_m - subc)
-            else:
-                hyps = (freq_m, jnp.zeros_like(freq_m))
-            if g.estimator == ZERO_FORCE:
-                # ZF forces the pilots exact, so pilot variance cannot
-                # discriminate hypotheses — use the hard-decision error
-                # power of the equalized data symbols instead (needs the
-                # full grid per hypothesis)
-                grids, variances, sel_metrics, stats = [], [], [], []
-                for f_h in hyps:
-                    rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
-                    dec_h = dec0 * rot.astype(self.cdtype)
-                    grid_h = self.demod_grid(dec_h)
-                    eq, var, mh, var_full = self.grid_stats(grid_h)
-                    grids.append(eq)
-                    variances.append(var)
-                    stats.append((mh, var_full))
-                    data_h = jnp.take(eq, self._data_cells, axis=-1)
-                    d2 = jnp.min(jnp.abs(data_h[..., None] - self._const) ** 2,
-                                 axis=-1)
-                    sel_metrics.append(jnp.mean(d2, axis=-1))
-                var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
-                pick = jnp.argmin(var_stack, axis=0)           # [B]
-                eq = jnp.take_along_axis(
-                    jnp.stack(grids, axis=0), pick[None, :, None], axis=0)[0]
-                variance = jnp.take_along_axis(
-                    jnp.stack(variances, axis=0), pick[None], axis=0)[0]
-                mean_h = jnp.take_along_axis(
-                    jnp.stack([s[0] for s in stats], 0), pick[None], axis=0)[0]
-                var_full = jnp.take_along_axis(
-                    jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
-                freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
-                                           axis=0)[0]
-                flat = slope = None       # ZF: no decision-directed pass
-            else:
-                # pilot variance discriminates, and it only needs the pilot
-                # cells: per hypothesis, extract them with the per-symbol
-                # partial-DFT matmul and run the pilot-side half of
-                # grid_stats; only the winner pays the full FFT demod
-                pil_dft = jnp.asarray(self._pil_dft_op)
-                pre = g.preamble_nsymb * g.nofdm
-                sel_metrics = []
-                for f_h in hyps:
-                    rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
-                    dec_h = dec0 * rot.astype(self.cdtype)
-                    sym = dec_h[..., pre:].reshape(b, self.active_nsymb,
-                                                   g.nofdm)
-                    sym = sym[..., g.ngi: g.ngi + g.nfft]
-                    y3 = jnp.einsum("bst,spt->bsp", sym, pil_dft)
-                    y_pil = jnp.take(y3.reshape(b, -1), self._pil_slot,
-                                     axis=-1)                  # [B, nPil]
-                    gain = PILOT_BOOST / jnp.mean(jnp.abs(y_pil), axis=-1,
-                                                  keepdims=True)
-                    y_pil = y_pil * gain
-                    h_pil = ((y_pil.real @ self._est_pil_op.T)
-                             + 1j * (y_pil.imag @ self._est_pil_op.T))
-                    if g.spec.amplitude_restoration:
-                        h_eq = h_pil / jnp.maximum(jnp.abs(h_pil), 1e-30)
-                    else:
-                        h_eq = h_pil
-                    var_h = jnp.mean(
-                        jnp.abs(y_pil / h_eq - self._pilot_seq) ** 2, axis=-1)
-                    sel_metrics.append(var_h)
-                var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
-                pick = jnp.argmin(var_stack, axis=0)           # [B]
-                freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
-                                           axis=0)[0]
-                rot = jnp.exp(1j * (2 * np.pi / g.fs) * freq[:, None] * t_dec)
-                grid_w = self.demod_grid(dec0 * rot.astype(self.cdtype))
-                eq, variance, mean_h, var_full, flat, slope = \
-                    self._grid_stats_internal(grid_w)
+                # 3) CFO hypotheses: correct by rotating the extracted frame
+                #    (equivalent to re-mixing at fc+f for narrowband f; the
+                #    reference re-runs the full mixer+FIR instead). Moose is
+                #    unambiguous only within ±half a subcarrier spacing
+                #    (±23.4 Hz); the ±1-subcarrier aliases extend coverage to
+                #    ≈±70 Hz (the reference's ±30 Hz grid search covers less).
+                #    Pick the hypothesis with the lowest pilot variance, then run
+                #    the expensive LDPC decode once — a parallel, fixed-shape
+                #    select instead of the reference's sequential retry trials.
+                subc = self.real_dtype(g.bandwidth / g.nc)
+                if self.cfo_range == "wide":
+                    hyps = (freq_m, jnp.zeros_like(freq_m),
+                            freq_m + subc, freq_m - subc)
+                else:
+                    hyps = (freq_m, jnp.zeros_like(freq_m))
+                if g.estimator == ZERO_FORCE:
+                    # ZF forces the pilots exact, so pilot variance cannot
+                    # discriminate hypotheses — use the hard-decision error
+                    # power of the equalized data symbols instead (needs the
+                    # full grid per hypothesis)
+                    grids, variances, sel_metrics, stats = [], [], [], []
+                    for f_h in hyps:
+                        rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
+                        dec_h = dec0 * rot.astype(self.cdtype)
+                        grid_h = self.demod_grid(dec_h)
+                        eq, var, mh, var_full = self.grid_stats(grid_h)
+                        grids.append(eq)
+                        variances.append(var)
+                        stats.append((mh, var_full))
+                        data_h = jnp.take(eq, self._data_cells, axis=-1)
+                        d2 = jnp.min(jnp.abs(data_h[..., None] - self._const) ** 2,
+                                     axis=-1)
+                        sel_metrics.append(jnp.mean(d2, axis=-1))
+                    var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
+                    pick = jnp.argmin(var_stack, axis=0)           # [B]
+                    eq = jnp.take_along_axis(
+                        jnp.stack(grids, axis=0), pick[None, :, None], axis=0)[0]
+                    variance = jnp.take_along_axis(
+                        jnp.stack(variances, axis=0), pick[None], axis=0)[0]
+                    mean_h = jnp.take_along_axis(
+                        jnp.stack([s[0] for s in stats], 0), pick[None], axis=0)[0]
+                    var_full = jnp.take_along_axis(
+                        jnp.stack([s[1] for s in stats], 0), pick[None], axis=0)[0]
+                    freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
+                                               axis=0)[0]
+                    flat = slope = None       # ZF: no decision-directed pass
+                else:
+                    # pilot variance discriminates, and it only needs the pilot
+                    # cells: per hypothesis, extract them with the per-symbol
+                    # partial-DFT matmul and run the pilot-side half of
+                    # grid_stats; only the winner pays the full FFT demod
+                    pil_dft = jnp.asarray(self._pil_dft_op)
+                    pre = g.preamble_nsymb * g.nofdm
+                    sel_metrics = []
+                    for f_h in hyps:
+                        rot = jnp.exp(1j * (2 * np.pi / g.fs) * f_h[:, None] * t_dec)
+                        dec_h = dec0 * rot.astype(self.cdtype)
+                        sym = dec_h[..., pre:].reshape(b, self.active_nsymb,
+                                                       g.nofdm)
+                        sym = sym[..., g.ngi: g.ngi + g.nfft]
+                        y3 = jnp.einsum("bst,spt->bsp", sym, pil_dft)
+                        y_pil = jnp.take(y3.reshape(b, -1), self._pil_slot,
+                                         axis=-1)                  # [B, nPil]
+                        gain = PILOT_BOOST / jnp.mean(jnp.abs(y_pil), axis=-1,
+                                                      keepdims=True)
+                        y_pil = y_pil * gain
+                        h_pil = ((y_pil.real @ self._est_pil_op.T)
+                                 + 1j * (y_pil.imag @ self._est_pil_op.T))
+                        if g.spec.amplitude_restoration:
+                            h_eq = h_pil / jnp.maximum(jnp.abs(h_pil), 1e-30)
+                        else:
+                            h_eq = h_pil
+                        var_h = jnp.mean(
+                            jnp.abs(y_pil / h_eq - self._pilot_seq) ** 2, axis=-1)
+                        sel_metrics.append(var_h)
+                    var_stack = jnp.stack(sel_metrics, axis=0)     # [H, B]
+                    pick = jnp.argmin(var_stack, axis=0)           # [B]
+                    freq = jnp.take_along_axis(jnp.stack(hyps, 0), pick[None],
+                                               axis=0)[0]
+                    rot = jnp.exp(1j * (2 * np.pi / g.fs) * freq[:, None] * t_dec)
+                    grid_w = self.demod_grid(dec0 * rot.astype(self.cdtype))
+                    eq, variance, mean_h, var_full, flat, slope = \
+                        self._grid_stats_internal(grid_w)
+                if stage == "hyp":
+                    return eq, variance, freq
+
+                data = jnp.take(eq, self._data_cells, axis=-1)
+                data = jnp.take(data, self._tf_iperm, axis=-1)
+                llr = psk.demod(data, self._const, variance)
+                llr = jnp.take(llr, self._bit_iperm, axis=-1)
+                (payload, crc_ok, iters, real_bits, data, variance, var_full,
+                 mean_h) = self._decode_llr_dd(llr, flat, slope, data, variance,
+                                               var_full, mean_h)
+                if not g.spec.amplitude_restoration:
+                    # QAM modes (any estimator): decision-directed MER on the
+                    # equalized data. The pilot-residual variance would fold in
+                    # the LS smoother's estimation bias (~-17 dB floor on the
+                    # sparse low-density lattice) and under-report strong
+                    # signals, starving the gearshift of headroom evidence.
+                    snr = self._mer_snr(real_bits, data)
+                else:
+                    snr = 10.0 * jnp.log10(1.0 / jnp.maximum(var_full, 1e-30))
+                return RxResult(payload, crc_ok, delay, freq, snr, iters,
+                                metric, mean_h)
+
             if stage == "hyp":
-                return eq, variance, freq
+                return _decode_from(delay, coarse_cfo)
+            out = _decode_from(delay, coarse_cfo)
+            if deep_cand2 is not None:
+                delay2 = jnp.clip(deep_cand2[0] - 8, 0, max_delay)
+                cfo2, have2 = deep_cand2[1], deep_cand2[2]
 
-            data = jnp.take(eq, self._data_cells, axis=-1)
-            data = jnp.take(data, self._tf_iperm, axis=-1)
-            llr = psk.demod(data, self._const, variance)
-            llr = jnp.take(llr, self._bit_iperm, axis=-1)
-            (payload, crc_ok, iters, real_bits, data, variance, var_full,
-             mean_h) = self._decode_llr_dd(llr, flat, slope, data, variance,
-                                           var_full, mean_h)
-            if not g.spec.amplitude_restoration:
-                # QAM modes (any estimator): decision-directed MER on the
-                # equalized data. The pilot-residual variance would fold in
-                # the LS smoother's estimation bias (~-17 dB floor on the
-                # sparse low-density lattice) and under-report strong
-                # signals, starving the gearshift of headroom evidence.
-                snr = self._mer_snr(real_bits, data)
-            else:
-                snr = 10.0 * jnp.log10(1.0 / jnp.maximum(var_full, 1e-30))
-            return RxResult(payload, crc_ok, delay, freq, snr, iters,
-                            metric, mean_h)
+                def _rescue(r1):
+                    r2 = _decode_from(delay2, cfo2)
+                    use2 = ~r1.crc_ok & r2.crc_ok & have2
+                    # sync_metric stays the arbitration-stage metric for
+                    # both hypotheses (same coarse stage); delay/freq flip
+                    # with the winning candidate
+                    return jax.tree_util.tree_map(
+                        lambda a1, a2: jnp.where(
+                            use2.reshape((-1,) + (1,) * (a1.ndim - 1)),
+                            a2, a1), r1, r2)
+
+                out = jax.lax.cond(jnp.all(out.crc_ok), lambda r: r,
+                                   _rescue, out)
+            return out
 
         return run
 

@@ -82,9 +82,15 @@ def main() -> int:
         first_rank = np.where(true_hit.any(0), true_hit.argmax(0),
                               d_sorted.shape[0])
 
+        n_rows_tot = d_sorted.shape[0]
         for bi in range(b):
             if mis[bi]:
+                # first_rank == n_rows means the true start is in NO
+                # arbitration row at all — do not let it masquerade as
+                # "in top-k" for k > n_rows
                 stats["misacq_rank_hist"].append(int(first_rank[bi]))
+                if first_rank[bi] >= n_rows_tot:
+                    continue
                 for ki, k in enumerate(topk):
                     if first_rank[bi] < k:
                         stats["misacq_true_in_top"][ki] += 1

@@ -183,14 +183,26 @@ def bench_fused(n_ch: int, rounds: int, log) -> dict:
     t_prime = time.perf_counter() - t_prime
     log(f"  priming: {n_prime}/{n_ch} decoded ({t_prime:.1f}s incl. compile)")
 
-    # measured end-to-end rounds (with double-buffered prefetch)
+    # measured end-to-end rounds (with double-buffered prefetch).
+    # Blocks are PRE-BUILT: a deployment's serving loop receives sample
+    # blocks, it does not synthesize them — at 1024 channels round_block()
+    # is ~260 MB of numpy writes per round and was silently dominating the
+    # round-4 wall numbers (the unexplained "tunnel" share). Build time is
+    # reported as its own line item instead.
+    t_b = time.perf_counter()
+    blocks = [round_block(r) for r in range(1, rounds + 2)]
+    t_build = (time.perf_counter() - t_b) / len(blocks)
     decoded = 0
+    t_unpack = 0.0
     t0 = time.perf_counter()
     for r in range(1, rounds + 1):
-        nxt = round_block(r + 1) if r < rounds else None
-        packed = pool.round(round_block(r), next_block=nxt)
+        nxt = blocks[r] if r < rounds else None
+        packed = pool.round(blocks[r - 1], next_block=nxt)
+        t_u = time.perf_counter()
         decoded += len(pool.unpack(packed))
+        t_unpack += time.perf_counter() - t_u
     wall = (time.perf_counter() - t0) / rounds
+    t_unpack /= rounds
 
     # --- budget line items, each measured on its own ---
     # (a) dispatch round-trip floor: no-op jit + tiny D2H
@@ -231,7 +243,7 @@ def bench_fused(n_ch: int, rounds: int, log) -> dict:
     flat = np.asarray(pk)
     t_d2h = time.perf_counter() - t_d
 
-    budget_sum = t_h2d + t_fused + t_d2h
+    budget_sum = t_h2d + t_fused + t_d2h + t_unpack
     buf_bytes = n_ch * pool.buf_len * 4
     return {
         "pool": "fused",
@@ -245,6 +257,8 @@ def bench_fused(n_ch: int, rounds: int, log) -> dict:
             "fused_dispatch_compute_s": round(t_fused, 4),
             "d2h_packed_s": round(t_d2h, 4),
             "dispatch_rtt_floor_s": round(t_rtt, 4),
+            "host_unpack_s": round(t_unpack, 4),
+            "block_build_s_excluded": round(t_build, 4),
             "sum_s": round(budget_sum, 4),
             "sum_vs_wall": round(budget_sum / max(wall, 1e-9), 3),
             "h2d_bytes": int(up.nbytes),
