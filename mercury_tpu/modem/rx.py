@@ -61,7 +61,7 @@ class RxChain:
                  ctrl: bool = False, cfo_range: str = "wide",
                  deep_sync: bool | None = None, ldpc_algo: str = "layered",
                  deep_profile: str = "pruned",
-                 deep_coherent: bool = True, deep_topn: int = 16,
+                 deep_coherent: bool | None = None, deep_topn: int = 16,
                  dd: bool | None = None, bicm_iters: int | None = None,
                  dd_window: tuple[int, int] | None = None,
                  dd_passes: int = 1, ldpc_max_iter: int = 50,
@@ -117,13 +117,24 @@ class RxChain:
         # preamble symbols (round-4 behavior); validated settings in
         # docs/deep_scan_r5.md.
         self._deep_scan_lp = None
+        # bf16 transforms in the NONCOHERENT scan kernel (argmax path
+        # only; the cfg0 coherent surface stays f32)
+        self._deep_scan_bf16 = True
         # Coherent deep acquisition (round 5, docs/acq_floor_r5.md): the
         # noncoherent scan NOMINATES deep_topn distinct peaks per CFO row;
         # a fully-coherent re-score over a fine static CFO grid (inter-
         # symbol phase compensated, sync.coherent_preamble_rescore) then
         # arbitrates all candidates — recovering the ~1 dB noncoherent
         # combining loss that set the cfg0 passband acquisition floor.
-        # deep_coherent=False restores the round-4 argmax arbitration.
+        # deep_coherent=None (default) resolves per config: True only for
+        # CONFIG_0 — the one mode whose operating floor sits at the
+        # acquisition limit; cfg1-4's round-4 campaign already measured
+        # passband == baseband with the cheap argmax arbitration
+        # (docs/ber_r4b.json), so the coherent surface would be pure cost
+        # there (~30 ms/call at batch 256).
+        if deep_coherent is None:
+            deep_coherent = (not geom.spec.is_mfsk
+                             and geom.spec.config == 0)
         self.deep_coherent = bool(deep_coherent)
         self._deep_topn = int(deep_topn)
         self._deep_coh_grid_hz = 4.0
@@ -1289,64 +1300,65 @@ class RxChain:
                         and self.deep_coherent)
             d_deep = None
             deep_cand2 = None       # (delay2, cfo2, have2) rescue candidate
-            if self.deep_sync and not deep_c2f:
-                # Global known-preamble acquisition (deep sync): below ~-3 dB
-                # effective Es/N0 the blind SC autocorrelation loses SNR
-                # quadratically (noise x noise lag products) and the true
-                # start stops surfacing in the top-K at all — so correlate
-                # the known preamble against the ENTIRE decimated TS baseband
-                # over a static CFO grid and let those hypotheses join the
-                # same arbitration. Coherent per preamble symbol, noncoherent
-                # across symbols: 15 Hz grid spacing keeps the per-symbol
-                # coherence loss under ~0.5 dB, and the downstream Moose +
-                # subcarrier-alias hypotheses absorb the residual. This is
-                # the capability the reference lacks entirely (its passband
-                # sync gates FER 1.0); it buys CONFIG_0-3 their baseband
-                # waterfalls through the full passband chain.
+            if self.deep_sync and not deep_c2f and not deep_coh:
+                # Global known-preamble acquisition, noncoherent variant
+                # (deep_coherent=False — the round-4 chain): correlate the
+                # known preamble against the ENTIRE decimated TS baseband
+                # over a static 30 Hz CFO grid (coherent per preamble
+                # symbol, noncoherent |.| across symbols) and let those
+                # hypotheses join the argmax arbitration. This is the
+                # capability the reference lacks entirely (its passband
+                # sync gates FER 1.0).
                 span = 120.0 if self.cfo_range == "wide" else 30.0
                 gsf = float(self._deep_grid_hz)
                 n_h = int(round(span / gsf))
                 grid_f = np.arange(-n_h, n_h + 1) * gsf
-                # nomination-only scan may use a leading subset of the
-                # preamble symbols (deep_coh re-scores ALL symbols
-                # coherently afterwards, so scan sensitivity only gates
-                # whether the true start makes the topn shortlist)
-                lp_scan = lp
-                tmpl_scan = tmpl_d
-                if deep_coh and self._deep_scan_lp:
-                    lp_scan = min(int(self._deep_scan_lp), lp)
-                    tmpl_scan = tmpl_d[:lp_scan]
                 bank_g = np.stack([
-                    tmpl_scan * np.exp(-1j * (2 * np.pi / g.fs)
-                                       * f_h * t_tmpl)[None]
-                    for f_h in grid_f]).astype(self.np_cdtype)  # [H, Lp', S]
+                    tmpl_d * np.exp(-1j * (2 * np.pi / g.fs)
+                                    * f_h * t_tmpl)[None]
+                    for f_h in grid_f]).astype(self.np_cdtype)  # [H, Lp, S]
                 n_gd = n_ts // mf_s             # whole buffer at mf_d rate
                 win_g = (n_gd - lp * s_d) // 2
                 seg_g = bb_ts[..., : (2 * win_g + lp * s_d) * mf_s: mf_s]
-                if deep_coh:
-                    # nominate deep_topn DISTINCT peaks per CFO row (GI-wide
-                    # plateau suppression) — the coherent re-score below
-                    # arbitrates, so the noncoherent scan only has to
-                    # surface the true start somewhere in the shortlist
-                    d_n, _s_n = sync.matched_filter_refine_bank(
-                        seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
-                        use_mm=False, topn=self._deep_topn)     # [B, H, N]
-                    d_deep = d_n.reshape(b, -1) * mf_d
-                else:
-                    delay_g, score_g = sync.matched_filter_refine_bank(
-                        seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
-                        use_mm=False)                           # [B, H]
-                    delays = jnp.concatenate([delays, delay_g.T * mf_d],
-                                             axis=0)
-                    scores = jnp.concatenate([scores, score_g.T], axis=0)
-                    cfos = jnp.concatenate(
-                        [cfos, jnp.asarray(grid_f, self.real_dtype)[:, None]
-                         * jnp.ones((1, b), self.real_dtype)], axis=0)
+                # bf16 MXU transforms: the fused scan kernel sits at the
+                # f32 MXU bound (~4.7 ms of cfg1-4's 15.8 ms budget); the
+                # per-element ~0.4% bf16 transform noise is far below the
+                # score's decision margins at these configs' operating
+                # floors (chip FER A/B: docs/deep_scan_r5.md)
+                delay_g, score_g = sync.matched_filter_refine_bank(
+                    seg_g, jnp.zeros(b, jnp.int32), bank_g, win_g,
+                    use_mm=False,
+                    mm_dtype=(jnp.bfloat16 if self._deep_scan_bf16
+                              else None))                       # [B, H]
+                delays = jnp.concatenate([delays, delay_g.T * mf_d],
+                                         axis=0)
+                scores = jnp.concatenate([scores, score_g.T], axis=0)
+                cfos = jnp.concatenate(
+                    [cfos, jnp.asarray(grid_f, self.real_dtype)[:, None]
+                     * jnp.ones((1, b), self.real_dtype)], axis=0)
             if deep_coh:
-                # shortlist = SC-refined rows + deep nominees; arbitrate
-                # with the fully-coherent fine-grid re-score (the static
-                # grid is data-independent: host-precomputed bank)
-                cand_all = jnp.concatenate([delays.T, d_deep], axis=1)
+                # COHERENT whole-buffer acquisition (round 5 redesign): ONE
+                # matched-filter pass scores the FULL preamble coherently —
+                # inter-symbol phase included — at EVERY lag for every CFO
+                # row of a fine (4 Hz) static grid, through the same fused
+                # VMEM kernel as the old noncoherent scan (bank [F, 1,
+                # Lp*S_d]; ~1.7x its kernel work). Max-combining the CFO
+                # axis elementwise then gives the global coherent
+                # acquisition surface, and nomination is a single pooled
+                # top-M over it. This replaces BOTH the round-4 noncoherent
+                # nomination AND the round-5 per-candidate coherent
+                # re-score: per-candidate segment gathers lowered to
+                # element-rate TPU gathers (~1 ms per candidate, measured
+                # round 5 — the LDPC gather lesson), while this
+                # formulation keeps the whole surface in the MXU kernel
+                # and gathers only [B, M] scalars. It also removes the
+                # nomination-bound misacquisitions outright: the true
+                # start no longer has to surface in any per-CFO-row
+                # shortlist (tools/acq_floor_r5.py: 6/9 residual misses
+                # were in NO arbitration row).
+                n_gd = n_ts // mf_s             # whole buffer at mf_d rate
+                win_g = (n_gd - lp * s_d) // 2
+                seg_g = bb_ts[..., : (2 * win_g + lp * s_d) * mf_s: mf_s]
                 gsc = float(self._deep_coh_grid_hz)
                 span_c2 = 120.0 if self.cfo_range == "wide" else 45.0
                 n_hc2 = int(round(span_c2 / gsc))
@@ -1356,67 +1368,55 @@ class RxChain:
                 bank_coh = np.stack([
                     tmpl_d * np.exp(-1j * (2 * np.pi / g.fs) * f_h * t_abs)
                     for f_h in grid_coh]).astype(self.np_cdtype)
-                score_c = sync.coherent_preamble_rescore(
-                    bb_ts, cand_all, bank_coh, mf_s, ts_dec)    # [B, N, F]
+                bank_c1 = bank_coh.reshape(len(grid_coh), 1, lp * s_d)
+                smax, sarg = sync.coherent_scan_max(seg_g, bank_c1,
+                                                    win_g)     # [B, L]
                 if sync_limit is not None:
-                    score_c = jnp.where(cand_all[:, :, None] >= sync_limit,
-                                        -jnp.inf, score_c)
-                f_n = len(grid_coh)
+                    lag_i = jnp.arange(smax.shape[-1]) * mf_d
+                    smax = jnp.where(lag_i[None] >= sync_limit,
+                                     -jnp.inf, smax)
+                m_top = self._deep_pil_topm
+                d_lag, s_top = sync.topk_pooled(
+                    smax, jnp.zeros(b, jnp.int32), m_top, 8)    # [B, M]
+                f_top = jnp.take_along_axis(sarg, d_lag, axis=-1)
+                d_top = d_lag * mf_d                 # interp-rate starts
+                if stage == "arb":   # diagnostic: the nomination stack
+                    cfo_at = jnp.asarray(grid_coh, self.real_dtype)[f_top]
+                    return d_top.T, s_top.T, cfo_at.T
                 # pilot-extended final arbitration: among the top-M
                 # coherent candidates (each at its best CFO), the pilot
                 # lattice — 7x the preamble energy — picks the start
-                s_best = jnp.max(score_c, axis=-1)              # [B, N]
-                f_best = jnp.argmax(score_c, axis=-1)           # [B, N]
-                if stage == "arb":   # diagnostic: per-candidate best rows
-                    cfo_at = jnp.asarray(grid_coh, self.real_dtype)[f_best]
-                    return cand_all.T, s_best.T, cfo_at.T
-                m_top = min(self._deep_pil_topm, cand_all.shape[1])
-                if m_top > 1:
-                    _ts, top_n = jax.lax.top_k(s_best, m_top)   # [B, M]
-                    d_top = jnp.take_along_axis(cand_all, top_n, axis=1)
-                    f_top = jnp.take_along_axis(f_best, top_n, axis=1)
-                    bank_pil = np.stack([
-                        self._pil_templates[:, ::mf_d]
-                        * np.exp(-1j * (2 * np.pi / g.fs) * f_h
-                                 * np.arange(0, s_tmpl, mf_d))[None]
-                        for f_h in grid_coh]).astype(self.np_cdtype)
-                    score_p = sync.pilot_rescore(
-                        bb_ts, d_top, f_top, bank_pil, mf_s, ts_dec,
-                        lp * s_tmpl)                            # [B, M]
-                    pick_m = jnp.argmax(score_p, axis=-1)       # [B]
-                    delay = jnp.take_along_axis(d_top, pick_m[:, None],
-                                                axis=1)[:, 0]
-                    coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
-                        jnp.take_along_axis(f_top, pick_m[:, None],
+                bank_pil = np.stack([
+                    self._pil_templates[:, ::mf_d]
+                    * np.exp(-1j * (2 * np.pi / g.fs) * f_h
+                             * np.arange(0, s_tmpl, mf_d))[None]
+                    for f_h in grid_coh]).astype(self.np_cdtype)
+                score_p = sync.pilot_rescore(
+                    bb_ts, d_top, f_top, bank_pil, mf_s, ts_dec,
+                    lp * s_tmpl)                                # [B, M]
+                pick_m = jnp.argmax(score_p, axis=-1)           # [B]
+                delay = jnp.take_along_axis(d_top, pick_m[:, None],
+                                            axis=1)[:, 0]
+                coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
+                    jnp.take_along_axis(f_top, pick_m[:, None],
+                                        axis=1)[:, 0]]
+                if self._deep_rescue:
+                    # CRC-gated rescue candidate: runner-up
+                    # pilot-arbitration start OUTSIDE the winner's GI
+                    # plateau; decoding it costs nothing on clean batches
+                    # (lax.cond-gated below, the MFSK second-candidate
+                    # pattern)
+                    gi_w = g.ngi * g.interp
+                    far = jnp.abs(d_top - delay[:, None]) > gi_w
+                    sp2 = jnp.where(far, score_p, -jnp.inf)
+                    pick2 = jnp.argmax(sp2, axis=-1)            # [B]
+                    delay2 = jnp.take_along_axis(
+                        d_top, pick2[:, None], axis=1)[:, 0]
+                    cfo2 = jnp.asarray(grid_coh, self.real_dtype)[
+                        jnp.take_along_axis(f_top, pick2[:, None],
                                             axis=1)[:, 0]]
-                    if self._deep_rescue:
-                        # CRC-gated rescue candidate (round 5): runner-up
-                        # pilot-arbitration start OUTSIDE the winner's GI
-                        # plateau — at the acquisition floor ~1/3 of the
-                        # residual misacquisitions carry the true start at
-                        # rank 2+ of this stack (tools/acq_floor_r5.py
-                        # misacq_rank_hist); decoding it costs nothing on
-                        # clean batches (lax.cond-gated below, the MFSK
-                        # second-candidate pattern)
-                        gi_w = g.ngi * g.interp
-                        far = jnp.abs(d_top - delay[:, None]) > gi_w
-                        sp2 = jnp.where(far, score_p, -jnp.inf)
-                        pick2 = jnp.argmax(sp2, axis=-1)        # [B]
-                        delay2 = jnp.take_along_axis(
-                            d_top, pick2[:, None], axis=1)[:, 0]
-                        cfo2 = jnp.asarray(grid_coh, self.real_dtype)[
-                            jnp.take_along_axis(f_top, pick2[:, None],
-                                                axis=1)[:, 0]]
-                        deep_cand2 = (delay2, cfo2,
-                                      jnp.any(far, axis=-1))
-                else:
-                    flat_c = score_c.reshape(b, -1)
-                    pick_c = jnp.argmax(flat_c, axis=-1)
-                    n_pick = pick_c // f_n
-                    delay = jnp.take_along_axis(cand_all, n_pick[:, None],
-                                                axis=1)[:, 0]
-                    coarse_cfo = jnp.asarray(grid_coh, self.real_dtype)[
-                        pick_c % f_n]
+                    deep_cand2 = (delay2, cfo2,
+                                  jnp.any(far, axis=-1))
             else:
                 if sync_limit is not None:
                     # a boundary frame's GI plateau can sneak a candidate

@@ -177,7 +177,15 @@ def topk_pooled(score: jnp.ndarray, start, topn: int,
     sp = sp.reshape(*score.shape[:-1], n_pool, pool_w)
     pooled = jnp.max(sp, axis=-1)
     inner = jnp.argmax(sp, axis=-1)
-    top_s, top_i = jax.lax.top_k(pooled, min(topn, n_pool))   # [..., N]
+    k = min(topn, n_pool)
+    if jax.default_backend() == "tpu":
+        # lax.top_k lowers to a full variadic sort on TPU (element-rate);
+        # the TPU-optimized approximate top-k is exact enough for
+        # NOMINATION (recall 0.99 of pool peaks; the pilot arbitration
+        # re-scores every nominee anyway)
+        top_s, top_i = jax.lax.approx_max_k(pooled, k, recall_target=0.99)
+    else:
+        top_s, top_i = jax.lax.top_k(pooled, k)               # [..., N]
     off = top_i * pool_w + jnp.take_along_axis(inner, top_i, axis=-1)
     if isinstance(start, jnp.ndarray) and start.ndim:
         off = off + start.reshape(start.shape + (1,) * (off.ndim - start.ndim))
@@ -192,6 +200,7 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
                                use_fft_mm: bool | None = None,
                                use_pallas: bool | None = None,
                                topn: int = 1, pool_w: int = 8,
+                               mm_dtype=None,
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Matched-filter refinement against a bank of A template variants
     (e.g. CFO-alias rotations, host-precomputed) in one pass.
@@ -216,6 +225,55 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         use_mm = jax.default_backend() != "cpu"
     if seg.dtype == jnp.complex128:
         use_mm = False                   # the matmul path is f32-only
+    a, lp, s = bank.shape
+    n_cand = 2 * window + 1
+    bank = np.asarray(bank)
+    score = bank_scores(seg, bank, window, use_mm=use_mm,
+                        use_fft_mm=use_fft_mm, use_pallas=use_pallas,
+                        mm_dtype=mm_dtype)
+    if topn > 1:
+        d_n, s_n = topk_pooled(score, start[:, None, None], topn, pool_w)
+        return d_n, s_n / lp
+    best = jnp.argmax(score, axis=-1)                          # [B, A]
+    delay = start[:, None] + best
+    return (delay.astype(jnp.int32),
+            jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp)
+
+
+def coherent_scan_max(seg: jnp.ndarray, bank: np.ndarray, window: int,
+                      use_pallas: bool | None = None
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(smax [B, n_cand], sarg [B, n_cand] int32): bank_scores max-combined
+    over the hypothesis axis. On TPU the reduction happens INSIDE the fused
+    kernel (pallas deep_mf_max: outputs revisit one VMEM block across the
+    whole bank), so the [B, A, n_cand] surface never reaches HBM — at the
+    round-5 coherent cfg0 shapes that tensor alone is ~0.9 GB/call."""
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and seg.dtype == jnp.complex64)
+    if use_pallas:
+        from mercury_tpu.dsp.pallas_kernels import deep_mf_max
+        nfft2 = 1
+        while nfft2 < seg.shape[-1]:
+            nfft2 *= 2
+        return deep_mf_max(seg, np.asarray(bank), window, nfft2)
+    score = bank_scores(seg, bank, window)
+    return jnp.max(score, axis=1), jnp.argmax(score, axis=1).astype(jnp.int32)
+
+
+def bank_scores(seg: jnp.ndarray, bank: np.ndarray, window: int,
+                use_mm: bool | None = None, use_fft_mm: bool | None = None,
+                use_pallas: bool | None = None,
+                mm_dtype=None) -> jnp.ndarray:
+    """Normalized matched-filter scores of `bank` [A, Lp, S] against seg at
+    every lag 0..2*window: the raw [B, A, n_cand] surface behind
+    matched_filter_refine_bank, exposed for whole-buffer acquisition scans
+    that combine rows themselves (e.g. the round-5 coherent scan max-
+    combines the CFO axis before nomination)."""
+    if use_mm is None:
+        use_mm = jax.default_backend() != "cpu"
+    if seg.dtype == jnp.complex128:
+        use_mm = False
     a, lp, s = bank.shape
     n_cand = 2 * window + 1
     bank = np.asarray(bank)
@@ -249,16 +307,8 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
                           and seg.dtype == jnp.complex64)
         if use_pallas:
             from mercury_tpu.dsp.pallas_kernels import deep_mf_score
-            score_p = deep_mf_score(seg, np.asarray(bank), window, nfft2)
-            if topn > 1:
-                d_n, s_n = topk_pooled(score_p, start[:, None, None],
-                                       topn, pool_w)
-                return d_n, s_n / lp
-            best_p = jnp.argmax(score_p, axis=-1)               # [B, A]
-            delay_p = start[:, None] + best_p
-            return (delay_p.astype(jnp.int32),
-                    jnp.take_along_axis(score_p, best_p[..., None],
-                                        axis=-1)[..., 0] / lp)
+            return deep_mf_score(seg, np.asarray(bank), window, nfft2,
+                                 mm_dtype=mm_dtype)
         tfc = np.conj(np.fft.fft(bank, n=nfft2, axis=-1))
         if use_fft_mm is None:
             use_fft_mm = (jax.default_backend() != "cpu"
@@ -299,13 +349,7 @@ def matched_filter_refine_bank(seg: jnp.ndarray, start: jnp.ndarray,
         term = c_l / (jnp.sqrt(jnp.maximum(e_l, e_floor))[:, None]
                       * jnp.asarray(t_norm[None, :, l, None]))
         score = score + jnp.where(e_l[:, None] > e_floor[:, None], term, 0.0)
-    if topn > 1:
-        d_n, s_n = topk_pooled(score, start[:, None, None], topn, pool_w)
-        return d_n, s_n / lp
-    best = jnp.argmax(score, axis=-1)                          # [B, A]
-    delay = start[:, None] + best
-    return (delay.astype(jnp.int32),
-            jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0] / lp)
+    return score
 
 
 def coherent_preamble_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
@@ -336,16 +380,27 @@ def coherent_preamble_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
     Returns score [B, N, F], normalized by segment energy x template norm.
     """
     f_n, lp, s_d = bank.shape
-    span = (lp * s_d - 1) * mf_s + 1
     b, n_ts = bb_ts.shape
-    idx0 = jnp.clip(cand_delay // ts_dec, 0, max(n_ts - span, 0))
+    # Decimate ONCE, then take CONTIGUOUS per-candidate slices. Every
+    # candidate is a multiple of mf_d = mf_s*ts_dec (MF-scan grid), so
+    # bb_ts[idx0 + k*mf_s] == bb_dec[idx0/mf_s + k] exactly. The previous
+    # formulation gathered full-rate spans and strided them afterwards:
+    # [B, N, (Lp*S_d-1)*mf_s+1] materialized ~4x the bytes AND lowered to
+    # an element-rate-bound gather on TPU (the LDPC lesson,
+    # docs/roofline_r2.md) — measured as the dominant deep-chain cost in
+    # round 5's throughput probe. Contiguous slice-gathers run at DMA
+    # rate instead.
+    bb_dec = bb_ts[:, ::mf_s]                      # [B, n_ts/mf_s]
+    span_d = lp * s_d
+    n_dec = bb_dec.shape[-1]
+    idx0 = jnp.clip(cand_delay // (ts_dec * mf_s), 0,
+                    max(n_dec - span_d, 0))
 
     def slice_one(row, st):
-        return jax.lax.dynamic_slice(row, (st,), (span,))
+        return jax.lax.dynamic_slice(row, (st,), (span_d,))
 
     seg = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0)),
-                   in_axes=(0, 0))(bb_ts, idx0)
-    seg = seg[..., ::mf_s]                         # [B, N, Lp*S_d]
+                   in_axes=(0, 0))(bb_dec, idx0)   # [B, N, Lp*S_d]
     bk = np.conj(np.asarray(bank)).reshape(f_n, lp * s_d)
     # complex correlation as two real matmuls per part (MXU-friendly).
     # HIGHEST precision: at the acquisition floor the signal sits ~10 dB
@@ -362,7 +417,8 @@ def coherent_preamble_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
 
 def pilot_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
                   cand_fidx: jnp.ndarray, bank: np.ndarray, mf_s: int,
-                  ts_dec: int, pre_span: int) -> jnp.ndarray:
+                  ts_dec: int, pre_span: int,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """Pilot-lattice extended-preamble scoring of candidate frame starts.
 
     The preamble carries ~200 Es-units of energy at cfg0; the pilot lattice
@@ -387,17 +443,33 @@ def pilot_rescore(bb_ts: jnp.ndarray, cand_delay: jnp.ndarray,
     normalized per-symbol correlation magnitudes).
     """
     f_n, nsym, s_d = bank.shape
-    span = (nsym * s_d - 1) * mf_s + 1
     b, n_ts = bb_ts.shape
+    # decimate once + contiguous slices (see coherent_preamble_rescore:
+    # the full-rate strided gather was element-rate-bound on TPU); the
+    # <=mf_d start quantization this introduces sits well inside the
+    # ~1/BW pilot correlation peak width
+    bb_dec = bb_ts[:, ::mf_s]
+    span_d = nsym * s_d
+    n_dec = bb_dec.shape[-1]
     start = cand_delay + pre_span
-    idx0 = jnp.clip(start // ts_dec, 0, max(n_ts - span, 0))
+    idx0 = jnp.clip(start // (ts_dec * mf_s), 0, max(n_dec - span_d, 0))
+
+    if use_pallas is None:
+        # even contiguous slice-gathers lower to element-rate gathers on
+        # TPU (~1.8 ms per candidate at cfg0, measured round 5) — the
+        # fused VMEM kernel slices the row in-core and reduces on the MXU
+        use_pallas = (jax.default_backend() == "tpu"
+                      and bb_ts.dtype == jnp.complex64)
+    if use_pallas:
+        from mercury_tpu.dsp.pallas_kernels import pilot_cand_score
+        return pilot_cand_score(bb_dec, idx0, cand_fidx, bank)
 
     def slice_one(row, st):
-        return jax.lax.dynamic_slice(row, (st,), (span,))
+        return jax.lax.dynamic_slice(row, (st,), (span_d,))
 
     seg = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0)),
-                   in_axes=(0, 0))(bb_ts, idx0)
-    seg = seg[..., ::mf_s].reshape(b, cand_delay.shape[1], nsym, s_d)
+                   in_axes=(0, 0))(bb_dec, idx0)
+    seg = seg.reshape(b, cand_delay.shape[1], nsym, s_d)
     bank_j = jnp.asarray(np.conj(np.asarray(bank)), dtype=seg.dtype)
     bk = jnp.take(bank_j, cand_fidx, axis=0)       # [B, M, Nsymb, S_d]
     c = jnp.sum(seg * bk, axis=-1)                 # [B, M, Nsymb]

@@ -1,25 +1,28 @@
 #!/usr/bin/env python
-"""Deep-sync nomination-scan pruning A/B (VERDICT r4 item 6).
+"""Deep-sync acquisition: round-5 redesign measurements (VERDICT r4 item 6).
 
-cfg1-4 ran at ~1900 Ms/s vs 2865-4112 for the non-deep siblings; the gap
-is the whole-buffer noncoherent matched-filter scan, whose fused-kernel
-work scales with (CFO grid rows x preamble symbols). Round 5's coherent
-re-score + pilot arbitration (docs/acq_floor_r5.md) made the scan
-NOMINATION-ONLY — the true start merely has to surface among deep_topn
-peaks per CFO row — so its cost can be pruned independently of final
-sensitivity:
+The round-5 coherent arbitration (acq_floor_r5) initially cost ~220 ms/call
+of real device time at batch 256 — per-candidate segment gathers lower to
+ELEMENT-rate TPU gathers (~1-2 ms per candidate, the LDPC lesson). The
+redesign measured here:
 
-  - L2:    scan with the first 2 preamble symbols only (kernel Lp 4->2)
-  - G40:   40 Hz scan grid (wide span rows 9->7)
-  - L2G40: both
+  cfg0 (the acquisition-limited mode): ONE coherent whole-buffer scan
+    through the fused VMEM kernel (bank [61, 1, Lp*S_d], max-reduced over
+    the CFO axis IN-kernel — pallas deep_mf_max), pooled top-32
+    nomination, pilot arbitration via the fused pilot_cand_score kernel,
+    CRC-gated runner-up rescue.
+  cfg1-4: the round-4 argmax chain (their r4 campaign already measured
+    passband == baseband — docs/ber_r4b.json), with the noncoherent scan
+    kernel's transforms in bf16 (the kernel sits at the f32 MXU bound).
 
-Protocol: difference-of-chains ((t_2n - t_n)/n) with a D2H barrier, the
-round-4 session-2 discipline; FER sensitivity A/B at the cfg0 passband
-acquisition floor (the worst-case preamble-energy mode) on the same
-realizations.  Writes docs/deep_scan_r5.json.
+Protocol: in-graph lax.fori_loop amortization ((t_K - t_1)/(K-1), one
+dispatch per measurement) — immune to relay-latency swings that made
+per-call dispatch timing junk (observed 23 -> 278 ms for identical
+programs minutes apart); a cfg9 health probe is still recorded for
+context. FER validation runs at each config's round-4 effective waterfall
+(FER is count-based, relay-immune).
 
-    python tools/deep_scan_r5.py            # chip
-    JAX_PLATFORMS=cpu python ... --fer-only # CPU FER check
+    python tools/deep_scan_r5.py [--skip-fer] [--out docs/deep_scan_r5.json]
 """
 
 from __future__ import annotations
@@ -33,20 +36,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = 256
-VARIANTS = {
-    "base": {},
-    "L2": {"_deep_scan_lp": 2},
-    "L2G40": {"_deep_scan_lp": 2, "_deep_grid_hz": 40.0},
-}
+# round-4 effective waterfalls (docs/ber_r4b.json) and front-end delta -5
+R4_EFF_WF = {0: -9.5, 1: -7.5, 2: -6.0, 3: -4.75, 4: -3.75}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/deep_scan_r5.json")
     ap.add_argument("--fer-frames", type=int, default=512)
-    ap.add_argument("--fer-only", action="store_true")
     ap.add_argument("--skip-fer", action="store_true")
-    ap.add_argument("--budget", type=float, default=5400.0)
+    ap.add_argument("--skip-tp", action="store_true")
+    ap.add_argument("--budget", type=float, default=9000.0)
     args = ap.parse_args()
 
     import jax
@@ -68,70 +68,47 @@ def main() -> int:
     def left() -> float:
         return args.budget - (time.time() - t_start)
 
-    seq = [0]
+    def make(cfg, **kw):
+        g = build_geometry(cfg)
+        tx, rx = TxChain(g), RxChain(g, **kw)
+        rng = np.random.default_rng(0)
+        p = rng.integers(0, 256, (B, g.frame_bytes)).astype(np.uint8)
+        fr = tx.transmit(p)
+        bl = g.nofdm * g.buffer_nsymb * g.interp
+        d = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
+        buf = jnp.asarray(sim.awgn_passband(
+            jax.random.key(1), fr, sim.sigma_for_esn0(30.0), d, bl),
+            jnp.float32)
+        return g, rx, buf, bl
 
-    def rx_chain(rx, x, n):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n):
-            seq[0] += 1
-            r = rx.receive(x + jnp.float32(seq[0] * 1e-7))
-        np.asarray(r.payload[:1, :4])
-        return time.perf_counter() - t0, r
+    def amortized_ms(g, rx, buf, k=6):
+        def body(i, acc):
+            r = rx.receive_fn(buf + (i.astype(jnp.float32)
+                                     * jnp.float32(1e-7)))
+            return acc + r.payload.astype(jnp.int32)
 
-    def diff_ms(rx, x, n=5):
-        rx_chain(rx, x, 1)
-        t_n, _ = rx_chain(rx, x, n)
-        t_2n, res = rx_chain(rx, x, 2 * n)
-        return max(t_2n - t_n, 1e-9) / n * 1e3, res
+        z = jnp.zeros((B, g.frame_bytes), jnp.int32)
 
-    rng = np.random.default_rng(0)
+        def runk(kk):
+            f = jax.jit(lambda b_: jax.lax.fori_loop(0, kk, body, z))
+            np.asarray(f(buf))
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(f(buf))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
 
-    def health_probe() -> bool:
-        """Round-4 session discipline: a degraded relay inflates per-call
-        dispatch far beyond device time (cfg9 reads 30-120 ms instead of
-        ~8); timings taken then are meaningless. Probe until cfg9 lands in
-        the healthy band or the budget runs out."""
-        from mercury_tpu.core.geometry import build_geometry as bg
-        g9 = bg(9)
-        tx9, rx9 = TxChain(g9), RxChain(g9)
-        buf9, _ = make_buf(g9, tx9)
-        for _ in range(8):
-            ms9, _ = diff_ms(rx9, buf9, n=4)
-            print(f"health probe cfg9: {ms9:.2f} ms/call", flush=True)
-            if 3.0 <= ms9 <= 14.0:
-                return True
-            if left() < 1200:
-                return False
-            print("relay degraded/artifact — waiting 120 s", flush=True)
-            time.sleep(120)
-        return False
-
-    def make_rx(g, variant):
-        rx = RxChain(g)
-        for k, v in VARIANTS[variant].items():
-            setattr(rx, k, v)
-        return rx
-
-    def make_buf(g, tx):
-        pay = rng.integers(0, 256, (B, g.frame_bytes)).astype(np.uint8)
-        buf_len = g.nofdm * g.buffer_nsymb * g.interp
-        delay = ((g.preamble_nsymb + 2) * g.nofdm + 50) * g.interp
-        return jnp.asarray(sim.awgn_passband(
-            jax.random.key(1), tx.transmit(pay), sim.sigma_for_esn0(30.0),
-            delay, buf_len), jnp.float32), buf_len
+        t1, tk = runk(1), runk(k)
+        return (tk - t1) / (k - 1) * 1e3, t1 * 1e3
 
     out = {"meta": {"platform": platform, "batch": B,
-                    "protocol": "difference-of-chains (t_2n-t_n)/n, "
-                                "D2H barrier, esn0 30 dB",
-                    "variants": {k: {kk: vv for kk, vv in v.items()}
-                                 for k, v in VARIANTS.items()}},
+                    "protocol": "in-graph fori amortization (t_K-t_1)/"
+                                "(K-1), one dispatch per point"},
            "throughput": [], "fer": []}
     if os.path.exists(args.out):
         with open(args.out) as f:
             out = json.load(f)
-
-    done_tp = {(r["config"], r["variant"]) for r in out["throughput"]}
 
     def save():
         tmp = args.out + ".tmp"
@@ -139,91 +116,56 @@ def main() -> int:
             json.dump(out, f, indent=1)
         os.replace(tmp, args.out)
 
-    if not args.fer_only:
-        if not health_probe():
-            print("relay never reached the healthy band — aborting so "
-                  "junk timings are not recorded", flush=True)
-            save()
-            return 1
-        out["meta"]["health_gate"] = "cfg9 diff-of-chains in [3, 14] ms"
-        # stage 1: all variants on cfg0 + cfg3; stage 2: winner on the rest
-        jobs = [(0, v) for v in VARIANTS] + [(3, v) for v in VARIANTS]
-        for cfg, variant in jobs:
-            if (cfg, variant) in done_tp or left() < 300:
+    if not args.skip_tp:
+        # health context row (per-call dispatch, NOT used for the table)
+        g9, rx9, buf9, _ = make(9)
+        ms9, t1_9 = amortized_ms(g9, rx9, buf9)
+        out["meta"]["cfg9_amortized_ms"] = round(ms9, 2)
+        print(f"cfg9: {ms9:.2f} ms/call amortized", flush=True)
+
+        done = {(r["config"], r["variant"]) for r in out["throughput"]}
+        jobs = [(0, "coherent(default)", {}),
+                (1, "argmax+bf16(default)", {}),
+                (2, "argmax+bf16(default)", {}),
+                (3, "argmax+bf16(default)", {}),
+                (4, "argmax+bf16(default)", {}),
+                (3, "argmax+f32", {"_attrs": {"_deep_scan_bf16": False}}),
+                (0, "r4-chain", {"deep_coherent": False,
+                                 "_attrs": {"_deep_scan_bf16": False}})]
+        for cfg, variant, kw in jobs:
+            if (cfg, variant) in done or left() < 600:
                 continue
-            g = build_geometry(cfg)
-            tx = TxChain(g)
-            rx = make_rx(g, variant)
-            buf, buf_len = make_buf(g, tx)
-            t_c = time.perf_counter()
-            ms, res = diff_ms(rx, buf)
-            compile_s = time.perf_counter() - t_c
+            attrs = dict(kw.pop("_attrs", {}))
+            g, rx, buf, bl = make(cfg, **kw)
+            for k2, v in attrs.items():
+                setattr(rx, k2, v)
+            ms, t1 = amortized_ms(g, rx, buf)
             row = {"config": cfg, "variant": variant,
                    "ms_per_call": round(ms, 3),
-                   "msamples_per_s": round(B * buf_len / ms / 1e3, 1),
-                   "crc_ok_frac": round(float(np.asarray(
-                       res.crc_ok).mean()), 4),
-                   "compile_plus_warm_s": round(compile_s, 1)}
+                   "msamples_per_s": round(B * bl / ms / 1e3, 1),
+                   "single_dispatch_ms": round(t1, 1)}
             out["throughput"].append(row)
             print(f"cfg{cfg} {variant}: {ms:.2f} ms/call = "
-                  f"{row['msamples_per_s']} Ms/s (crc {row['crc_ok_frac']})",
-                  flush=True)
+                  f"{row['msamples_per_s']} Ms/s", flush=True)
             save()
 
-        # pick the fastest variant that kept crc intact on both probes
-        best, best_ms = "base", float("inf")
-        for v in VARIANTS:
-            rows = [r for r in out["throughput"]
-                    if r["variant"] == v and r["config"] in (0, 3)]
-            if len(rows) < 2 or any(r["crc_ok_frac"] < 1.0 for r in rows):
-                continue
-            tot = sum(r["ms_per_call"] for r in rows)
-            if tot < best_ms:
-                best, best_ms = v, tot
-        out["meta"]["winner_stage1"] = best
-        print(f"stage-1 winner: {best}", flush=True)
-
-        for cfg in (1, 2, 4):
-            for variant in {"base", best}:
-                if (cfg, variant) in done_tp or left() < 300:
-                    continue
-                g = build_geometry(cfg)
-                tx = TxChain(g)
-                rx = make_rx(g, variant)
-                buf, buf_len = make_buf(g, tx)
-                ms, res = diff_ms(rx, buf)
-                row = {"config": cfg, "variant": variant,
-                       "ms_per_call": round(ms, 3),
-                       "msamples_per_s": round(B * buf_len / ms / 1e3, 1),
-                       "crc_ok_frac": round(float(np.asarray(
-                           res.crc_ok).mean()), 4)}
-                out["throughput"].append(row)
-                print(f"cfg{cfg} {variant}: {ms:.2f} ms/call = "
-                      f"{row['msamples_per_s']} Ms/s", flush=True)
-                save()
-
     if not args.skip_fer:
-        # FER sensitivity: cfg0 at the acquisition floor (docs/acq_floor_r5:
-        # effective -9.75 and -10.0 dB), same realizations both variants
         from mercury_tpu.channel.ber import BerHarness
 
-        done_fer = {(r["variant"], r["eff_esn0"]) for r in out["fer"]}
-        for variant in ("base", out["meta"].get("winner_stage1", "L2")):
-            h = BerHarness(0, batch=256)
-            for k, v in VARIANTS[variant].items():
-                setattr(h.rx, k, v)
+        done_fer = {(r["config"], r["eff_esn0"]) for r in out["fer"]}
+        for cfg, eff in R4_EFF_WF.items():
+            if (cfg, eff) in done_fer or left() < 400:
+                continue
+            h = BerHarness(cfg, batch=256)
             delta = h.front_end_delta()
-            for eff in (-9.75, -10.0):
-                if (variant, eff) in done_fer or left() < 200:
-                    continue
-                p = h.run_point(eff - delta, args.fer_frames)
-                row = {"variant": variant, "eff_esn0": eff,
-                       "fer": round(p.fer, 4), "frames": p.frames,
-                       "front_end_delta": round(delta, 3)}
-                out["fer"].append(row)
-                print(f"FER cfg0 {variant} @ eff {eff:+.2f}: {p.fer:.4f} "
-                      f"({p.frames} fr)", flush=True)
-                save()
+            p = h.run_point(eff - delta, args.fer_frames)
+            row = {"config": cfg, "eff_esn0": eff, "fer": round(p.fer, 4),
+                   "frames": p.frames, "r4_criterion": "FER<0.1 at the "
+                   "round-4 effective waterfall"}
+            out["fer"].append(row)
+            print(f"FER cfg{cfg} @ eff {eff:+.2f}: {p.fer:.4f} "
+                  f"({p.frames} fr)", flush=True)
+            save()
             del h
 
     save()
