@@ -537,8 +537,12 @@ def _pilot_score_kernel(row_re_ref, row_im_ref, idx_ref, fid_ref,
                 lo = st - q * 128
                 er = row_re_ref[r, pl.ds(q * 128, l_ext)][None, :]
                 ei = row_im_ref[r, pl.ds(q * 128, l_ext)][None, :]
-                er = pltpu.roll(er, -lo, 1)
-                ei = pltpu.roll(ei, -lo, 1)
+                # positive-shift form: Mosaic's dynamic rotate and the
+                # interpret path agree on non-negative shifts only
+                # (negative dynamic shifts measured 48% wrong on hardware,
+                # round 5); right-rotate by l_ext-lo == left-shift by lo
+                er = pltpu.roll(er, l_ext - lo, 1)
+                ei = pltpu.roll(ei, l_ext - lo, 1)
                 srs.append(er[:, :s_tot])                    # [1, S]
                 sis.append(ei[:, :s_tot])
                 brs.append(bkr_ref[f, pl.ds(0, s_tot)][None, :])

@@ -118,8 +118,11 @@ class RxChain:
         # docs/deep_scan_r5.md.
         self._deep_scan_lp = None
         # bf16 transforms in the NONCOHERENT scan kernel (argmax path
-        # only; the cfg0 coherent surface stays f32)
-        self._deep_scan_bf16 = True
+        # only; the cfg0 coherent surface stays f32). Default False: the
+        # chip A/B measured no reliable speedup over f32 at these shapes
+        # (docs/deep_scan_r5.json cfg3 rows bracket session noise) and f32
+        # keeps the scan numerics bit-comparable to round 4
+        self._deep_scan_bf16 = False
         # Coherent deep acquisition (round 5, docs/acq_floor_r5.md): the
         # noncoherent scan NOMINATES deep_topn distinct peaks per CFO row;
         # a fully-coherent re-score over a fine static CFO grid (inter-

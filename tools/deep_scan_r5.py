@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = 256
 # round-4 effective waterfalls (docs/ber_r4b.json) and front-end delta -5
-R4_EFF_WF = {0: -9.5, 1: -7.5, 2: -6.0, 3: -4.75, 4: -3.75}
+R4_EFF_WF = {0: -9.75, 1: -7.5, 2: -6.0, 3: -4.75, 4: -3.75}
 
 
 def main() -> int:
